@@ -1,0 +1,167 @@
+"""DOM boilerplate stripping via text-density node scoring.
+
+This is the new-engine component the north rule names ("HTML boilerplate
+strip via DOM-tree text-density heuristics, Readability/trafilatura-style
+node scoring").  The reference has no equivalent — it converts whole
+documents (its Turndown traversal is reproduced in :mod:`markdown`); this
+module decides WHICH subtree to convert for web pages.
+
+Algorithm (deterministic, classic Readability-style):
+
+1. Hard-drop boilerplate-by-tag subtrees (nav/footer/aside/header/form...).
+2. For every paragraph-like node (p, pre, td) with >= 25 chars of
+   collapsed text, award ``1 + n_commas + min(len/100, 3)`` points to its
+   parent and half to its grandparent.
+3. Candidate score is scaled by ``(1 - link_density)``; highest score
+   wins, first-in-document-order on ties (stable).
+4. Within the winner, descendant containers with link density > 0.5 and
+   >= 2 links are pruned (sidebars / related-links blocks).
+
+Everything is integer/fraction arithmetic over text lengths — no floats
+that could drift across platforms except the final density scale, which
+is a ratio of ints (deterministic in IEEE754 for identical inputs).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .htmldom import Node
+
+STRIP_TAGS = frozenset(
+    "nav footer aside header form button input select option textarea label".split()
+)
+
+_PARA_TAGS = frozenset({"p", "pre", "td"})
+_PRUNE_TAGS = frozenset({"div", "section", "ul", "ol", "table"})
+_SEMANTIC_BONUS = {"article": 1.2, "main": 1.2}
+
+_WS = re.compile(r"\s+")
+
+
+def strip_boilerplate_tags(root: Node) -> None:
+    """Detach nav/footer/aside/... subtrees in place (document order)."""
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        kept: list[Node | str] = []
+        for child in node.children:
+            if isinstance(child, Node) and child.tag in STRIP_TAGS:
+                continue
+            kept.append(child)
+            if isinstance(child, Node):
+                stack.append(child)
+        node.children = kept
+
+
+class _Stats:
+    __slots__ = ("text_len", "link_len", "n_links")
+
+    def __init__(self) -> None:
+        self.text_len = 0
+        self.link_len = 0
+        self.n_links = 0
+
+
+def _compute_stats(root: Node) -> dict[int, _Stats]:
+    """Post-order pass: collapsed text length, link-text length, link count."""
+    stats: dict[int, _Stats] = {}
+    # iterative post-order
+    order: list[Node] = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        order.append(n)
+        stack.extend(c for c in n.children if isinstance(c, Node))
+    for node in reversed(order):
+        s = _Stats()
+        for child in node.children:
+            if isinstance(child, str):
+                s.text_len += len(_WS.sub(" ", child).strip())
+            else:
+                cs = stats[id(child)]
+                s.text_len += cs.text_len
+                s.link_len += cs.link_len
+                s.n_links += cs.n_links
+                if child.tag == "a":
+                    s.link_len += cs.text_len
+                    s.n_links += 1
+        stats[id(node)] = s
+    return stats
+
+
+def _link_density(s: _Stats) -> float:
+    if s.text_len <= 0:
+        return 0.0
+    return min(1.0, s.link_len / s.text_len)
+
+
+def select_content_root(root: Node) -> Node:
+    """Pick the main-content subtree of a parsed page (see module doc)."""
+    strip_boilerplate_tags(root)
+    stats = _compute_stats(root)
+
+    scores: dict[int, float] = {}
+    candidates: list[Node] = []  # document order
+
+    # document-order walk awarding paragraph points to ancestors
+    stack = [root]
+    doc_order: list[Node] = []
+    while stack:
+        n = stack.pop()
+        doc_order.append(n)
+        stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
+
+    for node in doc_order:
+        if node.tag not in _PARA_TAGS:
+            continue
+        text = _WS.sub(" ", node.text_content()).strip()
+        if len(text) < 25:
+            continue
+        points = 1 + text.count(",") + min(len(text) // 100, 3)
+        parent = node.parent
+        grandparent = parent.parent if parent is not None else None
+        for ancestor, share in ((parent, float(points)), (grandparent, points / 2.0)):
+            if ancestor is None:
+                continue
+            if id(ancestor) not in scores:
+                scores[id(ancestor)] = 0.0
+                candidates.append(ancestor)
+            scores[id(ancestor)] += share
+
+    winner: Node | None = None
+    best = -1.0
+    for cand in candidates:
+        s = stats[id(cand)]
+        score = scores[id(cand)] * (1.0 - _link_density(s))
+        score *= _SEMANTIC_BONUS.get(cand.tag, 1.0)
+        if score > best:
+            best = score
+            winner = cand
+
+    if winner is None:
+        for tag in ("article", "main", "body"):
+            n = root.find(tag)
+            if n is not None:
+                return n
+        return root
+
+    _prune_link_heavy(winner, stats)
+    return winner
+
+
+def _prune_link_heavy(winner: Node, stats: dict[int, _Stats]) -> None:
+    """Remove link-dense containers (sidebars, related-links) in place."""
+    stack = [winner]
+    while stack:
+        node = stack.pop()
+        kept: list[Node | str] = []
+        for child in node.children:
+            if isinstance(child, Node) and child.tag in _PRUNE_TAGS:
+                cs = stats[id(child)]
+                if cs.n_links >= 2 and _link_density(cs) > 0.5:
+                    continue
+            kept.append(child)
+            if isinstance(child, Node):
+                stack.append(child)
+        node.children = kept

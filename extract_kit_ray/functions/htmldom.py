@@ -1,0 +1,206 @@
+"""Lenient HTML -> lightweight DOM tree, built on stdlib ``html.parser``.
+
+The reference converts HTML with Turndown, whose DOM comes from a browser
+parser (reference: packages/office-to-markdown/src/utils/html-to-markdown.ts:74-85).
+We need a dependency-free, *deterministic* parser: same bytes in -> same
+tree, on any platform.  stdlib ``HTMLParser`` is lenient (never raises on
+malformed markup), which matches the reference's never-throw contract
+(packages/pdf-processor/src/core/vision/processor.ts:115-131).
+
+Design notes
+------------
+- Void elements never get children; common implied-close rules (``<p>``,
+  ``<li>``, ``<td>``/``<th>``/``<tr>``, ``<option>``) are applied so that
+  tag-soup web pages produce sensible block structure.
+- Unmatched end tags are ignored; end tags that skip levels close all
+  intermediate open elements (browser-like recovery).
+- Character references are decoded by HTMLParser (convert_charrefs=True).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Elements whose open tag implicitly closes certain open ancestors.
+# Maps tag -> set of tags it closes if currently innermost-open.
+_IMPLIED_CLOSE = {
+    "p": {"p"},
+    "li": {"li", "p"},
+    "dt": {"dt", "dd", "p"},
+    "dd": {"dt", "dd", "p"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "thead": {"tr", "td", "th"},
+    "tbody": {"thead", "tr", "td", "th"},
+    "tfoot": {"tbody", "tr", "td", "th"},
+    "option": {"option"},
+    # block elements close an open <p>
+    "div": {"p"},
+    "ul": {"p"},
+    "ol": {"p"},
+    "table": {"p"},
+    "h1": {"p"},
+    "h2": {"p"},
+    "h3": {"p"},
+    "h4": {"p"},
+    "h5": {"p"},
+    "h6": {"p"},
+    "pre": {"p"},
+    "blockquote": {"p"},
+    "section": {"p"},
+    "article": {"p"},
+    "aside": {"p"},
+    "nav": {"p"},
+    "header": {"p"},
+    "footer": {"p"},
+    "main": {"p"},
+    "figure": {"p"},
+    "form": {"p"},
+    "hr": {"p"},
+}
+
+BLOCK_TAGS = frozenset(
+    (
+        "address article aside blockquote body details dialog dd div dl dt "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header "
+        "hgroup hr html li main nav ol p pre section table tbody td tfoot "
+        "th thead tr ul"
+    ).split()
+)
+
+# Text inside these elements keeps its whitespace verbatim.
+PRE_TAGS = frozenset({"pre", "textarea"})
+
+
+class Node:
+    """One DOM element. ``tag`` is lowercase; text children are plain str."""
+
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None, parent: "Node | None" = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list[Node | str] = []
+        self.parent = parent
+
+    # -- conveniences -------------------------------------------------------
+    def get(self, name: str, default: str = "") -> str:
+        return self.attrs.get(name, default)
+
+    def iter(self):
+        """Depth-first pre-order over element nodes (self included)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(c for c in reversed(node.children) if isinstance(c, Node))
+
+    def find(self, tag: str) -> "Node | None":
+        for n in self.iter():
+            if n.tag == tag:
+                return n
+        return None
+
+    def text_content(self) -> str:
+        """All descendant text, concatenated (no whitespace collapsing)."""
+        parts: list[str] = []
+        stack: list[Node | str] = [self]
+        while stack:
+            item = stack.pop()
+            if isinstance(item, str):
+                parts.append(item)
+            else:
+                stack.extend(reversed(item.children))
+        return "".join(parts)
+
+    def is_block(self) -> bool:
+        return self.tag in BLOCK_TAGS
+
+    def __repr__(self) -> str:  # debugging aid only
+        return f"<{self.tag} children={len(self.children)}>"
+
+
+# Adversarial pages nest absurdly deep; beyond this depth new elements
+# attach flat to the current node instead of nesting, so the recursive
+# renderer stays within Python's recursion limit (graceful degradation,
+# not an error row).
+MAX_TREE_DEPTH = 200
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root")
+        self.stack: list[Node] = [self.root]
+
+    # stack helpers
+    def _top(self) -> Node:
+        return self.stack[-1]
+
+    def _open_tags(self) -> list[str]:
+        return [n.tag for n in self.stack]
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        tag = tag.lower()
+        closes = _IMPLIED_CLOSE.get(tag)
+        if closes:
+            while len(self.stack) > 1 and self._top().tag in closes:
+                self.stack.pop()
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self._top())
+        self._top().children.append(node)
+        if tag not in VOID_ELEMENTS and len(self.stack) < MAX_TREE_DEPTH:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        tag = tag.lower()
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self._top())
+        self._top().children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        # close up to the matching open tag; ignore if not open at all
+        open_tags = self._open_tags()
+        if tag not in open_tags:
+            return
+        while len(self.stack) > 1:
+            popped = self.stack.pop()
+            if popped.tag == tag:
+                break
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._top().children.append(data)
+
+    # comments / declarations / PIs are dropped
+    def handle_comment(self, data: str) -> None:
+        pass
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a Node tree rooted at a synthetic ``#root``.
+
+    Never raises on malformed markup (lenient recovery, see module docstring).
+    """
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # HTMLParser is lenient but belt-and-braces: whatever was built so
+        # far is returned — failure-as-data, never raise mid-batch.
+        pass
+    return builder.root

@@ -1,0 +1,121 @@
+"""PDF/layout fan-out stages: the skew-handling showcase (SURVEY.md §4.1).
+
+A giant multi-page document must not dominate one task, so the layout
+path explodes 1 doc -> N page rows (the reference's per-page Ghostscript
+render, file-processor.ts:52-72, re-expressed as rows), parses pages
+independently, then reassembles with ``groupby("url").map_groups`` —
+within-group sort by page_no only, never a global sort (SURVEY.md O1).
+
+Partitioning assumption: reassembly shuffles on ``url``; group size is
+bounded by pages-per-doc, so no group exceeds a worker's memory even for
+the 500-page skew outlier.  Span offsets are prefix sums computed inside
+the group after the page sort (SURVEY.md §7.4 hard-part 3).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..functions import detect
+from ..functions.pdf_layout import assemble_document, assemble_page_text
+
+PAGE_ROW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("page_no", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("page_runs", pa.string()),  # JSON runs for one page
+    ]
+)
+
+
+def fanout_layout_batch(batch: pa.Table) -> pa.Table:
+    """pages batch -> page rows (1 doc -> N rows). Non-layout payloads and
+    malformed layouts fan out to a single error-marked page row
+    (page_no=-1) so failure stays data."""
+    urls = batch["url"].to_pylist()
+    ts = batch["warc_ts"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    payloads = batch["html"].to_pylist()
+    out = {n: [] for n in PAGE_ROW_SCHEMA.names}
+
+    def emit(url, t, lang, page_no, n_pages, runs_json):
+        out["url"].append(url)
+        out["warc_ts"].append(t)
+        out["lang"].append(lang)
+        out["page_no"].append(page_no)
+        out["n_pages"].append(n_pages)
+        out["page_runs"].append(runs_json)
+
+    for url, t, lang, payload in zip(urls, ts, langs, payloads):
+        payload = payload or b""
+        if detect.detect_doc_kind(payload) != detect.KIND_LAYOUT:
+            emit(url, t, lang, -1, 0, "")
+            continue
+        try:
+            doc = json.loads(payload.decode("utf-8"))
+            pages = doc["pages"]
+        except Exception:
+            emit(url, t, lang, -1, 0, "")
+            continue
+        for i, page in enumerate(pages):
+            runs = page.get("runs", []) if isinstance(page, dict) else []
+            emit(url, t, lang, i + 1, len(pages), json.dumps(runs, sort_keys=True))
+    return pa.table(out, schema=PAGE_ROW_SCHEMA)
+
+
+def parse_page_batch(batch: pa.Table) -> pa.Table:
+    """Per-page text assembly (x/y line merge) — narrow, embarrassingly
+    parallel; the heavy compute happens here, pre-shuffle."""
+    texts = []
+    for runs_json, page_no in zip(batch["page_runs"].to_pylist(), batch["page_no"].to_pylist()):
+        if page_no < 0 or not runs_json:
+            texts.append("")
+            continue
+        try:
+            texts.append(assemble_page_text(json.loads(runs_json)))
+        except Exception:
+            texts.append("")
+    return batch.drop_columns(["page_runs"]).append_column(
+        "page_text", pa.array(texts, pa.large_string())
+    )
+
+
+def assemble_group(group: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+    """``groupby("url").map_groups`` reassembly: sort pages within the
+    group, concatenate with prefix-sum offsets, one output row per doc."""
+    import pandas as pd
+
+    url = group["url"].iloc[0]
+    warc_ts = group["warc_ts"].iloc[0]
+    lang = group["lang"].iloc[0]
+    ok = group[group["page_no"] > 0]
+    if len(ok) == 0:
+        return pd.DataFrame(
+            {
+                "url": [url], "warc_ts": [warc_ts], "lang": [lang],
+                "n_pages": [0], "text": [""], "valid": [False],
+                "errors": [["not a parseable layout payload"]],
+            }
+        )
+    pairs = list(zip(ok["page_no"].tolist(), ok["page_text"].tolist()))
+    text, _offsets = assemble_document(pairs)
+    return pd.DataFrame(
+        {
+            "url": [url], "warc_ts": [warc_ts], "lang": [lang],
+            "n_pages": [len(pairs)], "text": [text], "valid": [True],
+            "errors": [[]],
+        }
+    )
+
+
+def extract_layout_fanout(ds, *, batch_size: int = 128):
+    """Full fan-out pipeline over a pages Dataset:
+    flat-map to page rows -> parse pages -> groupby(url) reassembly."""
+    pages = ds.map_batches(fanout_layout_batch, batch_format="pyarrow", batch_size=batch_size)
+    parsed = pages.map_batches(parse_page_batch, batch_format="pyarrow", batch_size=batch_size)
+    return parsed.groupby("url").map_groups(assemble_group, batch_format="pandas")
