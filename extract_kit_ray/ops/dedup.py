@@ -1,0 +1,305 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (ray_guide.md "Aggregation at scale"):
+- exact: vectorized content-hash column -> ``groupby(hash)`` keep-first
+  (hash-partitioned shuffle moves only rows sharing a 64-bit key)
+- MinHash-LSH: per-batch shingle->minhash (numpy, vectorized across
+  permutations) -> explode to (band_id, band_hash, id) rows ->
+  ``groupby(band)`` emits candidate pairs -> signature-estimated Jaccard
+  filter -> connected components.  Components run as driver union-find
+  over the *candidate pair* set only — bounded by true-duplicate volume,
+  not corpus size (documented assumption; the 100 TB path swaps in
+  iterated min-label propagation over the same pair Dataset).
+- SimHash: 64-bit signature, banded into 4x16-bit keys; Hamming<=k check
+  inside band groups.
+
+All hashes derive from functions/hashing.py (blake2b / splitmix64) — no
+process-salted ``hash()`` anywhere, so results are stable across runs
+and nodes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64, mix64, permutation_params
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_text_hash(batch: pa.Table, text_col: str = "text", out_col: str = "text_hash") -> pa.Table:
+    hashes = [hash64(t or "") - (1 << 63) for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(hashes, pa.int64()))
+
+
+def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
+    """Keep the min-key row per distinct text (first-wins, deterministic).
+
+    SQL-oracle equivalent: ``SELECT min(doc_id) ... GROUP BY text``.
+    """
+    hashed = ds.map_batches(
+        add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(key_col).head(1)
+
+    return hashed.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: str, w: int = 3) -> np.ndarray:
+    """uint64 hashes of word w-shingles (deduped, sorted — a set)."""
+    words = text.split()
+    if len(words) < w:
+        blob = " ".join(words)
+        return np.array([hash64(blob)], dtype=np.uint64) if blob else np.array([], dtype=np.uint64)
+    shingles = {hash64(" ".join(words[i : i + w])) for i in range(len(words) - w + 1)}
+    return np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_perm,) uint64 signature — min over permuted shingle hashes."""
+    n_perm = len(a)
+    if shingle_hashes.size == 0:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (n_shingles, n_perm) permuted matrix, min along shingles
+        permuted = mix64(shingle_hashes[:, None] * a[None, :] + b[None, :])
+    return permuted.min(axis=0)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, text_col: str = "text", n_perm: int = 64, shingle_w: int = 3,
+                 seed: int = 1337):
+        self.text_col = text_col
+        self.n_perm = n_perm
+        self.shingle_w = shingle_w
+        self.a, self.b = permutation_params(n_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = []
+        for text in batch[self.text_col].to_pylist():
+            sh = word_shingles(text or "", self.shingle_w)
+            sig = minhash_signature(sh, self.a, self.b)
+            sigs.append(sig.astype(np.int64).tolist())  # two's-complement view
+        return batch.append_column("minhash", pa.array(sigs, pa.list_(pa.int64())))
+
+
+def explode_bands(batch: pa.Table, *, key_col: str = "doc_id", n_bands: int = 16) -> pa.Table:
+    """(id, minhash) rows -> (band_id, band_hash, id) candidate rows."""
+    keys = batch[key_col].to_pylist()
+    sigs = batch["minhash"].to_pylist()
+    out_band, out_hash, out_key = [], [], []
+    for key, sig in zip(keys, sigs):
+        r = len(sig) // n_bands
+        for band in range(n_bands):
+            chunk = sig[band * r : (band + 1) * r]
+            band_hash = hash64(np.array(chunk, dtype=np.int64).tobytes()) - (1 << 63)
+            out_band.append(band)
+            out_hash.append(band_hash)
+            out_key.append(key)
+    return pa.table(
+        {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            key_col: pa.array(out_key, pa.int64()),
+        }
+    )
+
+
+def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def minhash_lsh_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                           n_perm: int = 64, n_bands: int = 16, concurrency=4):
+    """pages/documents Dataset -> candidate-pair Dataset
+    (key_a < key_b, est_jaccard)."""
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"text_col": text_col, "n_perm": n_perm},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    ).select_columns([key_col, "minhash"])
+    sig_map_ds = sigs  # reused below for verification
+    bands = sigs.map_batches(
+        explode_bands, fn_kwargs={"key_col": key_col, "n_bands": n_bands},
+        batch_format="pyarrow",
+    )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group[key_col].unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        a, b = [], []
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"key_a": a, "key_b": b})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    return pairs, sig_map_ds
+
+
+def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                      n_perm: int = 64, n_bands: int = 16, threshold: float = 0.8,
+                      concurrency=4) -> pd.DataFrame:
+    """Full near-dup pipeline. Returns a pandas frame
+    (key, cluster_rep, is_dup) for ALL input keys — materialized because
+    cluster assignments are the (small) result, not the corpus."""
+    pairs_ds, sigs_ds = minhash_lsh_candidates(
+        ds, text_col=text_col, key_col=key_col, n_perm=n_perm,
+        n_bands=n_bands, concurrency=concurrency,
+    )
+    pairs = pairs_ds.to_pandas().drop_duplicates()
+    sig_rows = sigs_ds.to_pandas()
+    sig_by_key = {
+        int(k): np.array(s, dtype=np.int64) for k, s in
+        zip(sig_rows[key_col], sig_rows["minhash"])
+    }
+    # verify candidates by signature-estimated Jaccard
+    keep = []
+    for ka, kb in zip(pairs.get("key_a", []), pairs.get("key_b", [])):
+        ka, kb = int(ka), int(kb)
+        if estimated_jaccard(sig_by_key[ka], sig_by_key[kb]) >= threshold:
+            keep.append((ka, kb))
+    # union-find over verified pairs (bounded by duplicate volume)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for ka, kb in keep:
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    all_keys = sorted(sig_by_key)
+    reps = [find(k) for k in all_keys]
+    return pd.DataFrame(
+        {key_col: all_keys, "cluster_rep": reps,
+         "is_dup": [k != r for k, r in zip(all_keys, reps)]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (unsigned)."""
+    tokens = text.split()
+    if not tokens:
+        return 0
+    hashes = np.fromiter((hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    counts = bits.sum(axis=0)
+    vec = (counts * 2) > len(tokens)
+    return sum(1 << int(i) for i in np.nonzero(vec)[0])
+
+
+def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sh = [simhash64(t or "") - (1 << 63) for t in batch[text_col].to_pylist()]
+    return batch.append_column("simhash", pa.array(sh, pa.int64()))
+
+
+def simhash_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                       max_hamming: int = 3):
+    """SimHash near-dup candidates: band the 64-bit signature into 4
+    16-bit keys (any pair within Hamming<=3 of each other shares at least
+    one band by pigeonhole when bits differ in <=3 of 4 bands)."""
+    hashed = ds.map_batches(
+        add_simhash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns([key_col, "simhash"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        sigs = batch["simhash"].to_pylist()
+        ob, ok2, osig, okey = [], [], [], []
+        for key, sig in zip(keys, sigs):
+            u = sig + (1 << 63)
+            for band in range(4):
+                ob.append(band)
+                ok2.append((u >> (band * 16)) & 0xFFFF)
+                osig.append(sig)
+                okey.append(key)
+        return pa.table(
+            {
+                "band_id": pa.array(ob, pa.int32()),
+                "band_key": pa.array(ok2, pa.int32()),
+                "simhash": pa.array(osig, pa.int64()),
+                key_col: pa.array(okey, pa.int64()),
+            }
+        )
+
+    bands = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group[[key_col, "simhash"]].drop_duplicates().sort_values(key_col)
+        keys = rows[key_col].tolist()
+        sigs = rows["simhash"].tolist()
+        a, b, d = [], [], []
+        for i in range(len(keys) - 1):
+            for j in range(i + 1, len(keys)):
+                ham = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    a.append(keys[i])
+                    b.append(keys[j])
+                    d.append(ham)
+        return pd.DataFrame({"key_a": a, "key_b": b, "hamming": d})
+
+    return bands.groupby(["band_id", "band_key"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification operator)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity of two texts."""
+    sa = set(map(tuple, _ngrams(text_a.split(), n)))
+    sb = set(map(tuple, _ngrams(text_b.split(), n)))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def _ngrams(tokens: list[str], n: int):
+    if len(tokens) < n:
+        return [tuple(tokens)] if tokens else []
+    return [tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def verify_pairs_jaccard(pairs: pd.DataFrame, texts_by_key: dict[int, str],
+                         n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
+    """Exact-Jaccard verification of candidate pairs (broadcast lookup)."""
+    out = []
+    for ka, kb in zip(pairs["key_a"], pairs["key_b"]):
+        j = ngram_jaccard(texts_by_key.get(int(ka), ""), texts_by_key.get(int(kb), ""), n)
+        if j >= threshold:
+            out.append((int(ka), int(kb), j))
+    return pd.DataFrame(out, columns=["key_a", "key_b", "jaccard"])

