@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over sf0.001 driver
+documents wrapped as Common-Crawl-style pages; ``queries()`` /
+``oracle_sql()`` expose each implemented operator from SURVEY.md §2 (and
+the scale ops: dedup, similarity, text analysis, multimodal plumbing).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in extract_kit_ray) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,25 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents wrapped as
+    (url, warc_ts, html, lang) pages -> HtmlExtractor actor pool ->
+    (doc_id, text) extracted table."""
+    from extract_kit_ray.driver import q_extract_html_roundtrip
+
+    return q_extract_html_roundtrip(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from extract_kit_ray.driver import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from extract_kit_ray.driver import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

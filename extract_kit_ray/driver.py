@@ -1,0 +1,477 @@
+"""Driver-contract query implementations (SURVEY.md §5.2 item 4).
+
+Each ``q_*`` function takes an ``sf_dir`` ("/root/testdata/sf0.01") and
+returns a Dataset / pandas DataFrame / pyarrow Table.  The matching
+DuckDB oracle SQL lives in ``ORACLE_SQL``; column names are aligned on
+both sides because the driver's compare hashes values per column name.
+
+Exactness discipline for SQL-checked aggregates: every aggregated
+measure is integerized per row FIRST (cents / counts), so sums are exact
+int64 arithmetic on both engines — no float-summation-order drift can
+break the value-hash compare.
+
+Ray is assumed initialised by the caller (driver or bench harness);
+nothing here calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .ops.dedup import add_simhash, add_text_hash, exact_dedup, minhash_lsh_dedup
+from .ops.multimodal import extract_media_features, make_media_table
+from .ops.similarity import brute_force_topk, embedding_near_dups, lsh_topk
+from .ops.textops import LangIdStage, fingerprint_batch, quality_batch, token_count_batch
+from .pipelines.lineage import lineage_rollup
+from .stages.extract_stage import HtmlExtractor
+
+# ---------------------------------------------------------------------------
+# documents table -> pages-shaped wrap (the input_hint table synthesised from
+# driver testdata so the extraction path is exercised over driver inputs)
+# ---------------------------------------------------------------------------
+
+_DOC_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z
+
+
+def _wrap_docs_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text, lang, ...) -> (url, warc_ts, html, lang) pages rows.
+
+    The wrap is deterministic and 1:1 (doc_id recoverable from url), and
+    the HTML is a plain article page, so the extractor's whitespace
+    normalisation is the ONLY transform — giving the SQL oracle
+    ``regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10)``.
+    """
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    urls = [f"https://docs.example/{i}" for i in ids]
+    ts = [_DOC_EPOCH_US + int(i) for i in ids]
+    htmls = [
+        (
+            "<html><head><title>Doc {i}</title></head><body><article>{body}"
+            "</article></body></html>"
+        ).format(i=i, body=_html.escape(t or "")).encode("utf-8")
+        for i, t in zip(ids, texts)
+    ]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def docs_as_pages(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(_wrap_docs_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _doc_id_from_url(batch: pa.Table) -> pa.Table:
+    ids = [int(u.rsplit("/", 1)[1]) for u in batch["url"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pc.cast(batch["text"], pa.string()),
+        }
+    )
+
+
+def q_extract_html_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Flagship HTML extraction over driver docs wrapped as pages.
+
+    The per-url byte-identity invariant, SQL-checkable: extracted text ==
+    whitespace-collapsed source text + trailing newline.
+    """
+    pages = docs_as_pages(sf_dir)
+    extracted = pages.map_batches(
+        HtmlExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=4,
+    )
+    return extracted.map_batches(_doc_id_from_url, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup / text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    kept = exact_dedup(ds, text_col="text", key_col="doc_id")
+    return kept.select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
+def q_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens_ws"]
+    )
+
+
+def q_long_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Quality-style length filter: docs with >= 60 whitespace tokens."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counted = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return (
+        counted.filter(expr="n_tokens_ws >= 60")
+        .select_columns(["doc_id", "n_tokens_ws"])
+    )
+
+
+def q_lang_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Per-lang doc/char counts — partial-aggregated per batch, then a tiny
+    groupby (the map-side-combine pattern from pipelines/lineage.py)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": batch["lang"], "one": pa.array([1] * len(batch), pa.int64()),
+                      "n_chars": batch["n_chars"]})
+            .group_by("lang")
+            .aggregate([("one", "sum"), ("n_chars", "sum")])
+        )
+        return g.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
+    )
+
+
+def q_source_rollup(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": batch["source"],
+                      "one": pa.array([1] * len(batch), pa.int64()),
+                      "n_chars": batch["n_chars"]})
+            .group_by("source")
+            .aggregate([("one", "sum"), ("n_chars", "sum")])
+        )
+        return g.rename_columns(["source", "n_docs", "sum_chars"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
+    )
+
+
+def q_top_sources(sf_dir: str) -> pd.DataFrame:
+    """Top-5 sources by total chars (sort + limit over the tiny rollup)."""
+    rolled = q_source_rollup(sf_dir)
+    top = rolled.sort(["sum_chars", "source"], descending=[True, False]).limit(5)
+    return top.to_pandas()[["source", "sum_chars"]]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational demos (general engine coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Q1-family rollup; measures integerized per row so sums are exact."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch["l_quantity"], pa.int64())  # integral by construction
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "l_linestatus": batch["l_linestatus"],
+                    "one": pa.array([1] * len(batch), pa.int64()),
+                    "qty": qty,
+                    "cents": cents,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("one", "sum"), ("qty", "sum"), ("cents", "sum")])
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty", "sum_price_cents"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+    )
+
+
+def q_events_type_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Per-type event counts, distinct users, exact cent-sums.
+
+    Distinct-user counting is the two-level groupby pattern: dedupe
+    (type, user) pairs per batch, shuffle on the pair, then count per
+    type — no driver-side set-building.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "event_type": batch["event_type"],
+                    "user_id": batch["user_id"],
+                    "one": pa.array([1] * len(batch), pa.int64()),
+                    "cents": cents,
+                }
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([("one", "sum"), ("cents", "sum")])
+        )
+        return g.rename_columns(["event_type", "user_id", "n_events", "sum_value_cents"])
+
+    per_user = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )
+    return per_user.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Count(alias_name="n_users"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 5
+_TOPK = 10
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, list[int]]:
+    """(queries, query vec_ids) — the _N_QUERIES lowest vec_ids."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(tbl["vec_id"])
+    first = tbl.take(order[: _N_QUERIES])
+    mat = np.asarray(first["embedding"].to_pylist(), dtype=np.float32)
+    return mat, [int(v) for v in first["vec_id"].to_pylist()]
+
+
+def _remap_query_ids(out: pd.DataFrame, qids: list[int]) -> pd.DataFrame:
+    """Positional query index -> the query's own vec_id (the oracle key)."""
+    out = out[["query_id", "vec_id"]].copy()
+    out["query_id"] = out["query_id"].map(lambda q: qids[int(q)]).astype("int64")
+    return out
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-k; returns ordering keys only (query_id, vec_id) —
+    scores are fp32 and engine-specific in the last bit, so the hashable
+    contract is the neighbor set, checked against DuckDB
+    list_cosine_similarity."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries, qids = _query_matrix(sf_dir)
+    out = brute_force_topk(ds, queries, k=_TOPK, concurrency=4)
+    return _remap_query_ids(out, qids)
+
+
+def q_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries, qids = _query_matrix(sf_dir)
+    out = lsh_topk(ds, queries, k=_TOPK, n_bits=4, concurrency=4)
+    return _remap_query_ids(out, qids)
+
+
+def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Driver embeddings are random (no true near-dups at cosine 0.9+);
+    the 0.35 threshold here exercises the bucketed pair-emission path on
+    real data — production threshold stays ~0.95."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(ds, threshold=0.35, n_bits=4, concurrency=4)[
+        ["key_a", "key_b"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL) operators
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "pred_lang", "lang_confidence"])
+
+
+def q_quality_signals(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "q_n_words", "q_stopword_ratio", "q_dup_line_ratio", "q_quality_score"]
+    )
+
+
+def q_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    out = out.map_batches(add_simhash, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint", "text_hash", "simhash"])
+
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, threshold=0.8, concurrency=4)
+
+
+def q_media_features(sf_dir: str) -> "ray.data.Dataset":
+    """Multimodal plumbing demo over a deterministic synthetic media table
+    (driver testdata has no binary media; generator is seed-fixed)."""
+    ds = ray.data.from_arrow(make_media_table(240))
+    return extract_media_features(ds, model="pixtral", concurrency=2).select_columns(
+        ["media_id", "kind", "decoded_width", "decoded_height",
+         "target_width", "target_height", "valid"]
+    )
+
+
+def q_flagship_fixture(sf_dir: str) -> "ray.data.Dataset":
+    """Full mixed-kind flagship extraction over the deterministic fixture
+    corpus (HTML + DOCX + multi-page layout + corruption rows)."""
+    from .fixtures import make_pages_table
+
+    ds = ray.data.from_arrow(make_pages_table(400))
+    extracted = ds.map_batches(
+        HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64, concurrency=4,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "doc_kind": batch["doc_kind"],
+                "valid": batch["valid"],
+                "title": batch["title"],
+                "n_bytes_out": pc.struct_field(batch["meta"], "n_bytes_out"),
+                "n_spans": pc.cast(pc.list_value_length(batch["spans"]), pa.int64()),
+            }
+        )
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+def q_domain_lineage(sf_dir: str) -> pa.Table:
+    """Per-domain lineage rollup over the fixture corpus (the flagship's
+    wide shuffle, SURVEY.md §2.6-new)."""
+    from .fixtures import make_pages_table
+
+    ds = ray.data.from_arrow(make_pages_table(400))
+    extracted = ds.map_batches(
+        HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64, concurrency=4,
+    )
+    tbl = lineage_rollup(extracted)
+    return tbl.drop_columns(["mean_parse_ms"])  # wall-clock column: not comparable
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "extract_html_roundtrip": q_extract_html_roundtrip,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_counts": q_token_counts,
+    "long_docs": q_long_docs,
+    "lang_rollup": q_lang_rollup,
+    "source_rollup": q_source_rollup,
+    "top_sources": q_top_sources,
+    "lineitem_pricing_rollup": q_lineitem_pricing_rollup,
+    "events_type_rollup": q_events_type_rollup,
+    "ann_topk": q_ann_topk,
+    "lsh_topk": q_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lang_id": q_lang_id,
+    "quality_signals": q_quality_signals,
+    "fingerprints": q_fingerprints,
+    "minhash_dedup": q_minhash_dedup,
+    "media_features": q_media_features,
+    "flagship_fixture": q_flagship_fixture,
+    "domain_lineage": q_domain_lineage,
+}
+
+ORACLE_SQL = {
+    "extract_html_roundtrip": (
+        "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
+        "FROM documents"
+    ),
+    "exact_dedup_docs": (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+    ),
+    "token_counts": (
+        "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '')) AS n_tokens_ws FROM documents"
+    ),
+    "long_docs": (
+        "SELECT doc_id, n_tokens_ws FROM (SELECT doc_id, "
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+        "AS n_tokens_ws FROM documents) WHERE n_tokens_ws >= 60"
+    ),
+    "lang_rollup": (
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    "source_rollup": (
+        "SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        "FROM documents GROUP BY source"
+    ),
+    "top_sources": (
+        "SELECT source, sum(n_chars) AS sum_chars FROM documents "
+        "GROUP BY source ORDER BY sum_chars DESC, source ASC LIMIT 5"
+    ),
+    "lineitem_pricing_rollup": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+        "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "events_type_rollup": (
+        "SELECT event_type, count(*) AS n_events, "
+        "count(DISTINCT user_id) AS n_users, "
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
+        "FROM events GROUP BY event_type"
+    ),
+    "ann_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+        f"ORDER BY vec_id LIMIT {_N_QUERIES}) "
+        "SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
+        "QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= {_TOPK}"
+    ),
+}
