@@ -1,0 +1,259 @@
+"""Benchmark harness (driver contract).
+
+Default run: ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS|32)``,
+headline = flagship HTML/DOCX/layout extraction over a deterministic
+synthetic pages corpus (BASELINE input_hint schema; generated once into
+/tmp and reused), plus per-query timings over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1).  Prints ONE JSON line.
+
+``--scaling``: runs the headline pipeline in two FRESH processes
+(num_cpus=8 and num_cpus=32) on the same corpus and reports docs/s at
+both plus efficiency = (t8/t32)/4 (SURVEY.md §4.5) — the sandbox
+substitute for the north rule's N vs 4N node criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Ray workers inherit PYTHONPATH (not the driver's sys.path edits); without
+# this, actors can't deserialize extract_kit_ray classes when the driver
+# runs from another cwd — they die and retry in a loop.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
+BENCH_SEED = 42
+CORPUS_ROOT = "/tmp/ekray_bench"
+
+# queries worth timing at sf0.1 (subset of driver.QUERIES: one per family)
+BENCH_QUERIES = [
+    "extract_html_roundtrip",
+    "exact_dedup_docs",
+    "token_counts",
+    "lang_rollup",
+    "lineitem_pricing_rollup",
+    "events_type_rollup",
+    "ann_topk",
+    "lsh_topk",
+    "minhash_dedup",
+    "quality_signals",
+    "fingerprints",
+    "lang_id",
+    "flagship_fixture",
+    "domain_lineage",
+]
+
+
+def _init_ray(num_cpus: int):
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def corpus_dir(n: int = BENCH_DOCS, seed: int = BENCH_SEED) -> str:
+    return os.path.join(CORPUS_ROOT, f"pages_n{n}_s{seed}")
+
+
+def ensure_corpus(ray, n: int = BENCH_DOCS, seed: int = BENCH_SEED,
+                  rows_per_file: int = 5000) -> str:
+    """Generate the bench corpus once (parallel Ray tasks, one file per
+    range) and reuse it across runs — generation must not pollute timing."""
+    path = corpus_dir(n, seed)
+    marker = os.path.join(path, "_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def gen(start: int, stop: int, part: int) -> str:
+        import pyarrow.parquet as pq
+
+        from extract_kit_ray.fixtures import make_pages_table_range
+
+        tbl = make_pages_table_range(start, stop, seed=seed)
+        out = os.path.join(path, f"pages-{part:05d}.parquet")
+        pq.write_table(tbl, out)
+        return out
+
+    futs = []
+    for part, start in enumerate(range(0, n, rows_per_file)):
+        futs.append(gen.remote(start, min(start + rows_per_file, n), part))
+    ray.get(futs)
+    with open(marker, "w") as f:
+        f.write(f"{n} {seed}\n")
+    return path
+
+
+def run_headline(ray, n_docs: int) -> dict:
+    """Flagship extraction over the synthetic pages corpus: column-pruned
+    read -> HtmlExtractor actor pool -> per-batch rollup consume (tiny)."""
+    import pyarrow.compute as pc
+
+    from extract_kit_ray.pipelines.flagship import extract_pages, read_pages
+
+    path = ensure_corpus(ray, n_docs)
+    t0 = time.perf_counter()
+    ds = read_pages(path)
+    extracted = extract_pages(ds)
+
+    def consume(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], pa.int64()),
+                "n_valid": pa.array([pc.sum(pc.cast(batch["valid"], pa.int64())).as_py() or 0],
+                                    pa.int64()),
+                "bytes_out": pa.array(
+                    [pc.sum(pc.struct_field(batch["meta"], "n_bytes_out")).as_py() or 0],
+                    pa.int64()),
+            }
+        )
+
+    tiny = extracted.map_batches(consume, batch_format="pyarrow", zero_copy_batch=True)
+    import pandas as pd  # noqa: F401
+
+    agg = tiny.to_pandas().sum()
+    wall = time.perf_counter() - t0
+    return {
+        "wall_sec": wall,
+        "docs": int(agg["n"]),
+        "valid": int(agg["n_valid"]),
+        "bytes_out": int(agg["bytes_out"]),
+        "docs_per_sec": int(agg["n"]) / wall,
+    }
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return 0
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from extract_kit_ray.driver import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--docs", type=int, default=BENCH_DOCS)
+    args = ap.parse_args()
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+    if args.scaling:
+        # fresh process per parallelism level (the two-cluster-size
+        # substitute); corpus is pre-generated by the first child.  Two
+        # runs per leg, best-of taken per leg: the sandbox VM has heavy
+        # run-to-run CPU noise (±40% observed) that a single sample
+        # cannot distinguish from real scaling behavior.
+        docs = args.docs if args.docs != BENCH_DOCS else int(
+            os.environ.get("GRAFT_SCALING_DOCS", "400000"))
+        runs: dict[int, list[dict]] = {8: [], 32: []}
+        for attempt in range(2):
+            for cpus in (8, 32):
+                # per-child timeout + one retry: Ray worker startup
+                # occasionally SIGABRTs in this sandbox and the executor
+                # can hang waiting for the dead worker
+                for retry in range(2):
+                    try:
+                        proc = subprocess.run(
+                            [sys.executable, os.path.abspath(__file__),
+                             "--headline-only", "--cpus", str(cpus),
+                             "--docs", str(docs)],
+                            capture_output=True, text=True, timeout=600,
+                        )
+                        line = proc.stdout.strip().splitlines()[-1]
+                        runs[cpus].append(json.loads(line))
+                        break
+                    except (subprocess.TimeoutExpired, IndexError,
+                            json.JSONDecodeError):
+                        subprocess.run(["pkill", "-f", "[r]aylet"], check=False)
+                        subprocess.run(["pkill", "-f", "[g]cs_server"], check=False)
+                        time.sleep(3)
+                        if retry == 1:
+                            raise
+        r8 = max(runs[8], key=lambda r: r["docs_per_sec"])
+        r32 = max(runs[32], key=lambda r: r["docs_per_sec"])
+        eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
+        print(json.dumps({
+            "metric": "flagship_extract_scaling",
+            "value": round(r32["wall_sec"], 3),
+            "unit": "sec",
+            "sf": docs,
+            "num_cpus": 32,
+            "scaling": {
+                "docs": docs,
+                "docs_per_sec_8": round(r8["docs_per_sec"], 1),
+                "docs_per_sec_32": round(r32["docs_per_sec"], 1),
+                "wall_sec_8": round(r8["wall_sec"], 3),
+                "wall_sec_32": round(r32["wall_sec"], 3),
+                "efficiency": round(eff, 3),
+                "all_runs_docs_per_sec": {
+                    "8": [round(r["docs_per_sec"], 1) for r in runs[8]],
+                    "32": [round(r["docs_per_sec"], 1) for r in runs[32]],
+                },
+            },
+        }))
+        return
+
+    ray = _init_ray(num_cpus)
+    headline = run_headline(ray, args.docs)
+    queries = {} if args.headline_only else run_queries(sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "flagship_extract_wall_sec",
+        "value": round(headline["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if not args.headline_only else args.docs,
+        "num_cpus": num_cpus,
+        "docs": headline["docs"],
+        "valid": headline["valid"],
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "wall_sec": round(headline["wall_sec"], 3),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -385,6 +385,60 @@ def q_flagship_fixture(sf_dir: str) -> "ray.data.Dataset":
     return extracted.map_batches(project, batch_format="pyarrow")
 
 
+def q_schema_validate(sf_dir: str) -> "ray.data.Dataset":
+    """Zod-equivalent path end-to-end (SURVEY.md V2+V7): compile a
+    JSON-Schema to a pyarrow struct, validate the events ``props`` JSON
+    column against it in an actor pool, project the typed field.
+    SQL-checkable because validation of well-formed input is the identity:
+    k == json_extract(props, '$.k')."""
+    from .schemas import compile_json_schema
+    from .stages.validate_stage import SchemaValidator
+
+    target = compile_json_schema(
+        {"type": "object", "properties": {"k": {"type": "integer"}},
+         "required": ["k"]}
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    validated = ds.map_batches(
+        SchemaValidator,
+        fn_constructor_kwargs={"target": target, "input_col": "props"},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=2,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k": pc.struct_field(batch["data"], "k"),
+                "valid": batch["valid"],
+            }
+        )
+
+    return validated.map_batches(project, batch_format="pyarrow")
+
+
+def q_layout_fanout(sf_dir: str) -> "ray.data.Dataset":
+    """Skew-defusing layout path over the fixture corpus: 1 doc -> N page
+    rows -> per-page parse -> groupby(url) reassembly (SURVEY.md §4.1)."""
+    from .fixtures import make_pages_table
+    from .stages.pdf_stage import extract_layout_fanout
+
+    ds = ray.data.from_arrow(make_pages_table(400))
+    out = extract_layout_fanout(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_pages": pc.cast(batch["n_pages"], pa.int32()),
+                "valid": batch["valid"],
+                "n_chars": pc.cast(pc.utf8_length(pc.cast(batch["text"], pa.string())), pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_domain_lineage(sf_dir: str) -> pa.Table:
     """Per-domain lineage rollup over the fixture corpus (the flagship's
     wide shuffle, SURVEY.md §2.6-new)."""
@@ -423,6 +477,8 @@ QUERIES = {
     "media_features": q_media_features,
     "flagship_fixture": q_flagship_fixture,
     "domain_lineage": q_domain_lineage,
+    "schema_validate": q_schema_validate,
+    "layout_fanout": q_layout_fanout,
 }
 
 ORACLE_SQL = {
@@ -466,6 +522,10 @@ ORACLE_SQL = {
         "count(DISTINCT user_id) AS n_users, "
         "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
         "FROM events GROUP BY event_type"
+    ),
+    "schema_validate": (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+        "TRUE AS valid FROM events"
     ),
     "ann_topk": (
         "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "

@@ -27,11 +27,14 @@ PAGES_READ_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
 
 def _default_concurrency() -> int:
+    """Actor-pool size = CPUs minus headroom for the task-pool operators
+    (read / consume). A pool of full-CPU actors sized to ALL cluster CPUs
+    starves ReadParquet of cores and deadlocks the streaming executor."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, cpus)
+    return max(2, cpus - 2)
 
 
 def read_pages(path: str) -> "ray.data.Dataset":
