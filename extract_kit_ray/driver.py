@@ -41,6 +41,21 @@ from .stages.extract_stage import HtmlExtractor
 _DOC_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z
 
 
+def _pool() -> dict:
+    """Deadlock-proof actor-pool kwargs for fixed-size pools: adaptive
+    concurrency with half-CPU reservation so the read / groupby task
+    pools always keep schedulable cores, even under a 4-CPU test session
+    (full-CPU actors sized to the whole cluster starve the task pools and
+    hang the streaming executor)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return {"concurrency": max(2, min(cpus - 2, 16)), "num_cpus": 0.5}
+
+
 def _wrap_docs_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text, lang, ...) -> (url, warc_ts, html, lang) pages rows.
 
@@ -100,7 +115,7 @@ def q_extract_html_roundtrip(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=64,
-        concurrency=4,
+        **_pool(),
     )
     return extracted.map_batches(_doc_id_from_url, batch_format="pyarrow")
 
@@ -325,7 +340,7 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
 def q_lang_id(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=2
+        LangIdStage, batch_format="pyarrow", **_pool()
     ).select_columns(["doc_id", "pred_lang", "lang_confidence"])
 
 
@@ -367,7 +382,7 @@ def q_flagship_fixture(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.from_arrow(make_pages_table(400))
     extracted = ds.map_batches(
         HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=64, concurrency=4,
+        batch_size=64, **_pool(),
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -402,7 +417,7 @@ def q_schema_validate(sf_dir: str) -> "ray.data.Dataset":
     validated = ds.map_batches(
         SchemaValidator,
         fn_constructor_kwargs={"target": target, "input_col": "props"},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=2,
+        batch_format="pyarrow", zero_copy_batch=True, **_pool(),
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -447,7 +462,7 @@ def q_domain_lineage(sf_dir: str) -> pa.Table:
     ds = ray.data.from_arrow(make_pages_table(400))
     extracted = ds.map_batches(
         HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=64, concurrency=4,
+        batch_size=64, **_pool(),
     )
     tbl = lineage_rollup(extracted)
     return tbl.drop_columns(["mean_parse_ms"])  # wall-clock column: not comparable

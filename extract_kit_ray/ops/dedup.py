@@ -124,13 +124,15 @@ def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def minhash_lsh_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
-                           n_perm: int = 64, n_bands: int = 16, concurrency=4):
+                           n_perm: int = 64, n_bands: int = 16, concurrency=4,
+                           num_cpus: float = 0.5):
     """pages/documents Dataset -> candidate-pair Dataset
     (key_a < key_b, est_jaccard)."""
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "n_perm": n_perm},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        num_cpus=num_cpus,
     ).select_columns([key_col, "minhash"])
     sig_map_ds = sigs  # reused below for verification
     bands = sigs.map_batches(

@@ -66,7 +66,7 @@ class BruteForceScorer:
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *,
                      vec_col: str = "embedding", key_col: str = "vec_id",
-                     concurrency=4) -> pd.DataFrame:
+                     concurrency=4, num_cpus: float = 0.5) -> pd.DataFrame:
     """Exact cosine top-k. Returns (query_id, vec_id, score) sorted by
     (query_id, -score, vec_id) — deterministic tie-break."""
     queries_ref = ray.put(np.asarray(queries, dtype=np.float32))
@@ -75,6 +75,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
                                "vec_col": vec_col, "key_col": key_col},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        num_cpus=num_cpus,
     )
 
     def global_topk(group: pd.DataFrame) -> pd.DataFrame:
@@ -199,7 +200,8 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, n_bits: int = 12,
 
 def embedding_near_dups(ds, *, threshold: float = 0.95, n_bits: int = 10,
                         vec_col: str = "embedding", key_col: str = "vec_id",
-                        seed: int = 2024, concurrency=4) -> pd.DataFrame:
+                        seed: int = 2024, concurrency=4,
+                        num_cpus: float = 0.5) -> pd.DataFrame:
     """Near-dup pairs by cosine >= threshold, LSH-bucketed: pairs are only
     checked within a bucket and its single-bit neighbors via banding —
     here approximated by grouping on the bucket id (recall documented as
@@ -211,6 +213,7 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_bits: int = 10,
     bucketed = ds.map_batches(
         LshBucketer, fn_constructor_kwargs={"planes_ref": planes_ref, "vec_col": vec_col},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        num_cpus=num_cpus,
     ).select_columns([key_col, vec_col, "lsh_bucket"])
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
