@@ -138,24 +138,31 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#root")
         self.stack: list[Node] = [self.root]
+        # open-tag multiset: O(1) "is this tag open?" in handle_endtag
+        # instead of rebuilding a list of open tags per end tag
+        self._open_counts: dict[str, int] = {}
 
     # stack helpers
     def _top(self) -> Node:
         return self.stack[-1]
 
-    def _open_tags(self) -> list[str]:
-        return [n.tag for n in self.stack]
+    def _pop_top(self) -> Node:
+        node = self.stack.pop()
+        self._open_counts[node.tag] -= 1
+        return node
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         tag = tag.lower()
         closes = _IMPLIED_CLOSE.get(tag)
         if closes:
-            while len(self.stack) > 1 and self._top().tag in closes:
-                self.stack.pop()
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self._top())
-        self._top().children.append(node)
+            while len(self.stack) > 1 and self.stack[-1].tag in closes:
+                self._pop_top()
+        top = self.stack[-1]
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs} if attrs else {}, top)
+        top.children.append(node)
         if tag not in VOID_ELEMENTS and len(self.stack) < MAX_TREE_DEPTH:
             self.stack.append(node)
+            self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         tag = tag.lower()
@@ -167,11 +174,10 @@ class _TreeBuilder(HTMLParser):
         if tag in VOID_ELEMENTS:
             return
         # close up to the matching open tag; ignore if not open at all
-        open_tags = self._open_tags()
-        if tag not in open_tags:
+        if not self._open_counts.get(tag):
             return
         while len(self.stack) > 1:
-            popped = self.stack.pop()
+            popped = self._pop_top()
             if popped.tag == tag:
                 break
 

@@ -471,36 +471,44 @@ class Span:
     kind: str
 
 
+_MARKER_SPLIT = re.compile("([" + re.escape("".join(sorted(_MARKER_CHARS))) + "])")
+
+
 def finalize_spans(marked: str) -> tuple[str, list[Span]]:
-    """Strip markers; return (visible_text, spans over visible offsets)."""
+    """Strip markers; return (visible_text, spans over visible offsets).
+
+    Fragment-wise (regex split on the rare marker bytes) rather than
+    char-by-char — the hot path of every extracted document.
+    """
+    parts = _MARKER_SPLIT.split(marked)
     out: list[str] = []
     spans: list[Span] = []
     stack: list[str] = []
+    pos = 0
     run_start = 0
     run_kind: str | None = None
+    run_has_content = False
 
-    def close_run() -> None:
-        nonlocal run_start
-        pos = len(out)
-        if run_kind is not None and pos > run_start:
-            frag = "".join(out[run_start:pos])
-            if frag.strip():
+    for i, part in enumerate(parts):
+        if i % 2 == 0:  # text fragment
+            if part:
+                out.append(part)
+                pos += len(part)
+                if not run_has_content and part.strip():
+                    run_has_content = True
+        else:  # single marker char
+            if run_kind is not None and pos > run_start and run_has_content:
                 spans.append(Span(run_start, pos, run_kind))
-        run_start = pos
-
-    for ch in marked:
-        if ch in _MARKER_CHARS:
-            close_run()
-            if ch == _POP:
+            if part == _POP:
                 if stack:
                     stack.pop()
             else:
-                stack.append(_KIND_OF[ch])
+                stack.append(_KIND_OF[part])
             run_kind = stack[-1] if stack else None
-            run_start = len(out)
-        else:
-            out.append(ch)
-    close_run()
+            run_start = pos
+            run_has_content = False
+    if run_kind is not None and pos > run_start and run_has_content:
+        spans.append(Span(run_start, pos, run_kind))
     return "".join(out), spans
 
 

@@ -40,16 +40,39 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
     """Keep the min-key row per distinct text (first-wins, deterministic).
 
     SQL-oracle equivalent: ``SELECT min(doc_id) ... GROUP BY text``.
+
+    Scale shape: the only shuffle moves 16-byte (hash, key) pairs — full
+    text rows NEVER shuffle.  The duplicate-cluster table (hash -> min
+    key, only hashes with count > 1) is assumed small relative to the
+    corpus (true for web-scale dup rates) and is broadcast into a filter;
+    a ``groupby(text_hash).map_groups`` fallback covers adversarial
+    all-duplicate corpora but pays per-group Python overhead.
     """
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(
         add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    groups = (
+        hashed.select_columns(["text_hash", key_col])
+        .groupby("text_hash")
+        .aggregate(Min(key_col, alias_name="min_key"), Count(alias_name="n"))
+    )
+    dup_rows = groups.filter(expr="n > 1").to_pandas()
+    if len(dup_rows) == 0:
+        return hashed.drop_columns(["text_hash"])
+    min_by_hash = dict(zip(dup_rows["text_hash"], dup_rows["min_key"]))
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(key_col).head(1)
+    def keep(batch: pa.Table) -> pa.Table:
+        hashes = batch["text_hash"].to_pylist()
+        keys = batch[key_col].to_pylist()
+        mask = pa.array(
+            [min_by_hash.get(h, k) == k for h, k in zip(hashes, keys)]
+        )
+        return batch.filter(mask).drop_columns(["text_hash"])
 
-    return hashed.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+    return hashed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -134,11 +157,46 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
         num_cpus=num_cpus,
     ).select_columns([key_col, "minhash"])
+    # Signatures feed three consumers (bucket counts, pair expansion,
+    # verification read-back); materialize once so MinHash isn't
+    # recomputed per consumer.  Signature volume is n_perm x 8 bytes/doc
+    # (~0.5 KB) — object-store resident with spilling at corpus scale.
+    sigs = sigs.materialize()
     sig_map_ds = sigs  # reused below for verification
     bands = sigs.map_batches(
         explode_bands, fn_kwargs={"key_col": key_col, "n_bands": n_bands},
         batch_format="pyarrow",
     )
+
+    # Hot-bucket prefilter: almost every (band_id, band_hash) bucket is a
+    # singleton, and per-group map_groups pays Python overhead per group.
+    # A vectorized count-aggregate finds the buckets with >= 2 members
+    # (bounded by true-duplicate volume), which are broadcast into a
+    # filter so the per-group pair expansion only ever sees duplicates.
+    from ray.data.aggregate import Count
+
+    counts = (
+        bands.select_columns(["band_id", "band_hash"])
+        .groupby(["band_id", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+    )
+    hot = counts.filter(expr="n > 1").to_pandas()
+    if len(hot) == 0:
+        import ray.data
+
+        empty = pd.DataFrame({"key_a": pd.Series([], dtype="int64"),
+                              "key_b": pd.Series([], dtype="int64")})
+        return ray.data.from_pandas(empty), sig_map_ds
+    hot_set = frozenset(zip(hot["band_id"].tolist(), hot["band_hash"].tolist()))
+
+    def filter_hot(batch: pa.Table) -> pa.Table:
+        bids = batch["band_id"].to_pylist()
+        bhs = batch["band_hash"].to_pylist()
+        mask = pa.array([(i, h) in hot_set for i, h in zip(bids, bhs)])
+        return batch.filter(mask)
+
+    hot_bands = bands.map_batches(filter_hot, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(group[key_col].unique().tolist())
@@ -151,7 +209,7 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id
                 b.append(ids[j])
         return pd.DataFrame({"key_a": a, "key_b": b})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = hot_bands.groupby(["band_id", "band_hash"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
     return pairs, sig_map_ds
@@ -254,6 +312,35 @@ def simhash_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
         )
 
     bands = hashed.map_batches(explode, batch_format="pyarrow")
+
+    # hot-bucket prefilter (same rationale as minhash_lsh_candidates):
+    # only buckets with >= 2 members can emit pairs
+    from ray.data.aggregate import Count
+
+    counts = (
+        bands.select_columns(["band_id", "band_key"])
+        .groupby(["band_id", "band_key"])
+        .aggregate(Count(alias_name="n"))
+    )
+    hot = counts.filter(expr="n > 1").to_pandas()
+    if len(hot) == 0:
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame({"key_a": pd.Series([], dtype="int64"),
+                          "key_b": pd.Series([], dtype="int64"),
+                          "hamming": pd.Series([], dtype="int64")})
+        )
+    hot_set = frozenset(zip(hot["band_id"].tolist(), hot["band_key"].tolist()))
+
+    def filter_hot(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [(i, k) in hot_set for i, k in
+             zip(batch["band_id"].to_pylist(), batch["band_key"].to_pylist())]
+        )
+        return batch.filter(mask)
+
+    bands = bands.map_batches(filter_hot, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         rows = group[[key_col, "simhash"]].drop_duplicates().sort_values(key_col)
