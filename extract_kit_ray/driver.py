@@ -280,6 +280,100 @@ def q_events_type_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast hash join (SURVEY.md §2.5 J-family): the small ``part``
+    table is shipped to the object store ONCE via ``ray.put`` and read in
+    each joiner actor's ``__init__`` — no shuffle join for a small side.
+    Measures integerized per row, so sums are engine-exact."""
+    import ray as _ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_by_key = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
+    brand_ref = _ray.put(brand_by_key)
+
+    class BrandJoiner:
+        def __init__(self):
+            self.brand_by_key = _ray.get(brand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            brands = [self.brand_by_key.get(k, "") for k in batch["l_partkey"].to_pylist()]
+            # integerize BEFORE multiplying: price (2 decimals) -> cents,
+            # discount (2 decimals) -> percent; their product is exact
+            # int64 "centi-cents" — no round-half-mode ambiguity between
+            # engines (price*(1-disc)*100 lands on exact .5 for ~1% of
+            # rows, where banker's and half-away rounding diverge)
+            price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+            disc_pct = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64())
+            centicents = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+            g = (
+                pa.table({"p_brand": pa.array(brands, pa.string()),
+                          "one": pa.array([1] * len(batch), pa.int64()),
+                          "centicents": centicents})
+                .group_by("p_brand")
+                .aggregate([("one", "sum"), ("centicents", "sum")])
+            )
+            return g.rename_columns(["p_brand", "n_items", "revenue_centicents"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    partials = ds.map_batches(
+        BrandJoiner, batch_format="pyarrow", zero_copy_batch=True, **_pool()
+    )
+    return partials.groupby("p_brand").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_centicents", alias_name="revenue_centicents"),
+    )
+
+
+def q_events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window aggregate (the streaming-window analog, SURVEY.md
+    §2.10): window key derived vectorized per row, then the partial-agg +
+    tiny-groupby pattern."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        g = (
+            pa.table({"window_start": hour, "event_type": batch["event_type"],
+                      "one": pa.array([1] * len(batch), pa.int64()), "cents": cents})
+            .group_by(["window_start", "event_type"])
+            .aggregate([("one", "sum"), ("cents", "sum")])
+        )
+        return g.rename_columns(["window_start", "event_type", "n_events", "sum_value_cents"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+    )
+
+
+def q_user_event_gaps(sf_dir: str) -> "ray.data.Dataset":
+    """Per-key ordered window op (lag/as-of family): events shuffle on
+    user_id, sort WITHIN the group only (never a global sort, SURVEY.md
+    O1), emit max inter-event gap per user."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        # normalize to epoch MICROseconds regardless of pandas' datetime64
+        # resolution (ns vs us depends on the arrow->pandas conversion)
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        diffs = us.diff().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "max_gap_us": [int(diffs.max()) if len(diffs) else 0],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -482,6 +576,9 @@ QUERIES = {
     "top_sources": q_top_sources,
     "lineitem_pricing_rollup": q_lineitem_pricing_rollup,
     "events_type_rollup": q_events_type_rollup,
+    "revenue_by_brand": q_revenue_by_brand,
+    "events_hourly": q_events_hourly,
+    "user_event_gaps": q_user_event_gaps,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -537,6 +634,27 @@ ORACLE_SQL = {
         "count(DISTINCT user_id) AS n_users, "
         "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
         "FROM events GROUP BY event_type"
+    ),
+    "revenue_by_brand": (
+        "SELECT p.p_brand, count(*) AS n_items, "
+        "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) "
+        "AS revenue_centicents "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "GROUP BY p.p_brand"
+    ),
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "count(*) AS n_events, "
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
+        "FROM events GROUP BY date_trunc('hour', ts), event_type"
+    ),
+    "user_event_gaps": (
+        "SELECT user_id, count(*) AS n_events, "
+        "coalesce(max(gap), 0) AS max_gap_us FROM ("
+        "SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events"
+        ") GROUP BY user_id"
     ),
     "schema_validate": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "

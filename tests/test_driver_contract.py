@@ -24,6 +24,9 @@ CHECKED = [
     "schema_validate",
     "ann_topk",
     "exact_dedup_docs",
+    "revenue_by_brand",
+    "events_hourly",
+    "user_event_gaps",
 ]
 
 
