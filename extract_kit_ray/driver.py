@@ -416,6 +416,22 @@ def q_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return _remap_query_ids(out, qids)
 
 
+def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF (inverted-file) ANN — centroid-partitioned scale path.  The
+    training sample here is the whole (small) table; at corpus scale it
+    is a bounded ``ds.random_sample`` readout."""
+    from .ops.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    sample = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        ["embedding"].to_pylist(), dtype=np.float32)
+    queries, qids = _query_matrix(sf_dir)
+    out = ivf_topk(ds, queries, k=_TOPK, n_lists=16, n_probe=4,
+                   train_sample=sample, concurrency=4)
+    return _remap_query_ids(out, qids)
+
+
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     """Driver embeddings are random (no true near-dups at cosine 0.9+);
     the 0.35 threshold here exercises the bucketed pair-emission path on
@@ -581,6 +597,7 @@ QUERIES = {
     "user_event_gaps": q_user_event_gaps,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id": q_lang_id,
     "quality_signals": q_quality_signals,

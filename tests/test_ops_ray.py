@@ -131,6 +131,35 @@ def test_lsh_topk_recall(ray_session):
         assert len(a) > 0
 
 
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+
+    from extract_kit_ray.ops.similarity import brute_force_topk, ivf_topk
+
+    import pyarrow.parquet as pq
+
+    mat = np.asarray(pq.read_table(f"{SF}/embeddings.parquet")["embedding"].to_pylist(),
+                     dtype=np.float32)
+    queries = mat[:5]
+    exact = brute_force_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), queries, k=5, concurrency=2)
+    approx = ivf_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), queries, k=5,
+        n_lists=8, n_probe=4, train_sample=mat, concurrency=2)
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / 5)
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # determinism: same call -> same neighbor sets
+    approx2 = ivf_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), queries, k=5,
+        n_lists=8, n_probe=4, train_sample=mat, concurrency=2)
+    assert approx[["query_id", "vec_id"]].values.tolist() == \
+        approx2[["query_id", "vec_id"]].values.tolist()
+
+
 def test_embedding_near_dups(ray_session):
     import ray.data
 
