@@ -374,6 +374,38 @@ def q_user_event_gaps(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
 
 
+_SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h (median inter-event gap ~7.3h)
+
+
+def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Gap-based sessionization (training-data-pipeline staple): events
+    shuffle on user_id; within the group, sort by (ts, event_id), break a
+    session when the gap exceeds 12h, roll up per session.  The shuffle
+    key is the session's natural partition; groups are per-user event
+    lists, bounded by per-user activity."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_sess = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_sess[1:] = (np.diff(us) > _SESSION_GAP_US).astype(np.int64)
+        session_no = np.cumsum(new_sess)
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        out = pd.DataFrame(
+            {"session_no": session_no, "cents": cents}
+        ).groupby("session_no", sort=True).agg(
+            n_events=("cents", "size"), sum_value_cents=("cents", "sum")
+        ).reset_index()
+        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -595,6 +627,7 @@ QUERIES = {
     "revenue_by_brand": q_revenue_by_brand,
     "events_hourly": q_events_hourly,
     "user_event_gaps": q_user_event_gaps,
+    "sessionize": q_sessionize,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -672,6 +705,22 @@ ORACLE_SQL = {
         "SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
         "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events"
         ") GROUP BY user_id"
+    ),
+    "sessionize": (
+        "WITH g AS ("
+        "  SELECT user_id, event_id, ts, value, "
+        "         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+        f"             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US} "
+        "              THEN 1 ELSE 0 END AS new_sess "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "), s AS ("
+        "  SELECT user_id, value, "
+        "         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "                             ROWS UNBOUNDED PRECEDING) AS session_no "
+        "  FROM g"
+        ") SELECT user_id, session_no, count(*) AS n_events, "
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
+        "FROM s GROUP BY user_id, session_no"
     ),
     "schema_validate": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "

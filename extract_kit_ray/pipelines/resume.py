@@ -117,7 +117,41 @@ def _read_part_stats(part_dir: str) -> pa.Table:
 
 
 def read_extracted(out_dir: str) -> "ray.data.Dataset":
-    """Read a completed partitioned output back as a Dataset, exact-deduped
-    on url (first-wins) to guard against any double-write (SURVEY.md §2.8)."""
+    """Read a completed partitioned output back as a Dataset, deduped on
+    url to guard against any double-write (SURVEY.md §2.8).
+
+    Scale shape (mirrors ops/dedup.exact_dedup): a Count aggregate over
+    the url column finds double-written urls (normally none — manifests
+    prevent them), which are broadcast into a keep-first filter; the full
+    rows never shuffle and the happy path adds no per-group Python."""
+    from ray.data.aggregate import Count
+
     ds = ray.data.read_parquet(out_dir)
-    return ds.groupby("url").map_groups(lambda g: g.head(1), batch_format="pandas")
+    counts = (
+        ds.select_columns(["url"]).groupby("url").aggregate(Count(alias_name="n"))
+    )
+    dups = counts.filter(expr="n > 1").to_pandas()
+    if len(dups) == 0:
+        return ds
+    dup_urls = frozenset(dups["url"])
+
+    class KeepFirst:
+        """Single actor (concurrency=1) so the seen-set survives across
+        batches; dup rows are byte-identical re-extractions, so keeping
+        whichever copy arrives first is correct."""
+
+        def __init__(self):
+            self.seen: set[str] = set()
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            mask = []
+            for u in batch["url"].to_pylist():
+                if u in dup_urls:
+                    if u in self.seen:
+                        mask.append(False)
+                        continue
+                    self.seen.add(u)
+                mask.append(True)
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(KeepFirst, batch_format="pyarrow", concurrency=1)

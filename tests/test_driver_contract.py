@@ -27,6 +27,7 @@ CHECKED = [
     "revenue_by_brand",
     "events_hourly",
     "user_event_gaps",
+    "sessionize",
 ]
 
 
