@@ -75,6 +75,16 @@ def run_partitioned_extract(
         _part_from_urls, fn_kwargs={"n_parts": n_parts}, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # Co-locate rows by part BEFORE writing: write_parquet(partition_cols)
+    # splits every block into per-part files, so B blocks x P parts would
+    # emit B*P tiny files (observed 12,800 for 200k docs).  The groupby
+    # shuffle — keyed on the same part id resume depends on — yields one
+    # output block (= one file) per part.  Size n_parts so corpus/n_parts
+    # is a sane file size (~1 GB at scale).
+    def _identity(group: pa.Table) -> pa.Table:
+        return group
+
+    extracted = extracted.groupby("part").map_groups(_identity, batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
     extracted.write_parquet(out_dir, partition_cols=["part"])
 
