@@ -374,6 +374,59 @@ def q_user_event_gaps(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
 
 
+def q_top_docs_per_source(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped top-k with a map-side combiner: each batch keeps its local
+    top-2 per source (so the shuffle moves <= 2 x sources x batches rows,
+    not the corpus), then the per-group finalizer re-ranks."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("source", sort=False).head(2),
+                                    preserve_index=False)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(2)
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("source").map_groups(final_topk, batch_format="pandas")
+
+
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_chars_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles via value histogram: the corpus never
+    sorts globally — a groupby(n_chars) count produces a table bounded by
+    the value domain, and the quantile read-off is a driver-side cumsum
+    over that small histogram."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"n_chars": batch["n_chars"],
+                      "one": pa.array([1] * len(batch), pa.int64())})
+            .group_by("n_chars").aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["n_chars", "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas().sort_values("n_chars").reset_index(drop=True)
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    out = {}
+    for q in _QUANTILES:
+        idx = int(np.floor(q * (n - 1)))  # quantile_disc position
+        out[f"p{int(q * 100)}"] = int(hist["n_chars"][cum > idx].iloc[0])
+    return pd.DataFrame([out])
+
+
 _SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h (median inter-event gap ~7.3h)
 
 
@@ -628,6 +681,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "user_event_gaps": q_user_event_gaps,
     "sessionize": q_sessionize,
+    "top_docs_per_source": q_top_docs_per_source,
+    "chars_quantiles": q_chars_quantiles,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -705,6 +760,16 @@ ORACLE_SQL = {
         "SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
         "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events"
         ") GROUP BY user_id"
+    ),
+    "top_docs_per_source": (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) <= 2"
+    ),
+    "chars_quantiles": (
+        "SELECT quantile_disc(n_chars, 0.5) AS p50, "
+        "quantile_disc(n_chars, 0.9) AS p90, "
+        "quantile_disc(n_chars, 0.99) AS p99 FROM documents"
     ),
     "sessionize": (
         "WITH g AS ("

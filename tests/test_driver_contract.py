@@ -28,6 +28,8 @@ CHECKED = [
     "events_hourly",
     "user_event_gaps",
     "sessionize",
+    "top_docs_per_source",
+    "chars_quantiles",
 ]
 
 
