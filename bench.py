@@ -41,14 +41,23 @@ BENCH_QUERIES = [
     "lang_rollup",
     "lineitem_pricing_rollup",
     "events_type_rollup",
+    "revenue_by_brand",
+    "events_hourly",
+    "user_event_gaps",
+    "sessionize",
+    "top_docs_per_source",
+    "chars_quantiles",
     "ann_topk",
     "lsh_topk",
+    "ivf_topk",
     "minhash_dedup",
     "quality_signals",
     "fingerprints",
     "lang_id",
     "flagship_fixture",
     "domain_lineage",
+    "schema_validate",
+    "layout_fanout",
 ]
 
 

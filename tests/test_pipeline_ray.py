@@ -115,3 +115,29 @@ def test_detect_stage(ray_session, pages_parquet):
     assert {"html", "layout", "docx", "empty"} <= kinds
     docx = [r for r in out if r["doc_kind"] == "docx"]
     assert docx and all(r["detected_ext"] == ".docx" for r in docx)
+
+
+def test_flagship_skewed_corpus(ray_session):
+    """Skew rows (100-500x median payloads, 500-page layout docs) must
+    flow through extraction as normal valid rows — no task blowup, no
+    exception (SURVEY.md §4.1 skew row / §7.4 hard-part 4)."""
+    import ray.data
+
+    from extract_kit_ray.fixtures import make_pages_table
+    from extract_kit_ray.pipelines.flagship import extract_pages
+
+    tbl = make_pages_table(500, include_skew=True)
+    sizes = [len(p) for p in tbl["html"].to_pylist()]
+    assert max(sizes) > 50 * (sorted(sizes)[len(sizes) // 2])  # skew present
+    ds = ray.data.from_arrow(tbl)
+    rows = extract_pages(ds, concurrency=2, batch_size=32).take_all()
+    assert len(rows) == 500
+    by_url = {r["url"]: r for r in rows}
+    # the giant rows themselves extracted fine
+    giant_urls = [u for u, s in zip(tbl["url"].to_pylist(), sizes)
+                  if s > 50 * (sorted(sizes)[len(sizes) // 2])]
+    assert giant_urls
+    for u in giant_urls:
+        r = by_url[u]
+        assert r["valid"], r["errors"]
+        assert len(r["text"]) > 0
