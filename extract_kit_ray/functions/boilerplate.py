@@ -39,6 +39,16 @@ _SEMANTIC_BONUS = {"article": 1.2, "main": 1.2}
 _WS = re.compile(r"\s+")
 
 
+def _collapsed_len(text: str) -> int:
+    """len of whitespace-collapsed-and-stripped ``text`` without building
+    the string: sum of token lengths + single-space gaps (hot path —
+    called once per text node and per paragraph candidate)."""
+    parts = text.split()
+    if not parts:
+        return 0
+    return sum(map(len, parts)) + len(parts) - 1
+
+
 def strip_boilerplate_tags(root: Node) -> None:
     """Detach nav/footer/aside/... subtrees in place (document order)."""
     stack = [root]
@@ -77,7 +87,7 @@ def _compute_stats(root: Node) -> dict[int, _Stats]:
         s = _Stats()
         for child in node.children:
             if isinstance(child, str):
-                s.text_len += len(_WS.sub(" ", child).strip())
+                s.text_len += _collapsed_len(child)
             else:
                 cs = stats[id(child)]
                 s.text_len += cs.text_len
@@ -115,10 +125,11 @@ def select_content_root(root: Node) -> Node:
     for node in doc_order:
         if node.tag not in _PARA_TAGS:
             continue
-        text = _WS.sub(" ", node.text_content()).strip()
-        if len(text) < 25:
+        raw = node.text_content()
+        tlen = _collapsed_len(raw)
+        if tlen < 25:
             continue
-        points = 1 + text.count(",") + min(len(text) // 100, 3)
+        points = 1 + raw.count(",") + min(tlen // 100, 3)
         parent = node.parent
         grandparent = parent.parent if parent is not None else None
         for ancestor, share in ((parent, float(points)), (grandparent, points / 2.0)):

@@ -181,6 +181,12 @@ class _TreeBuilder(HTMLParser):
             if popped.tag == tag:
                 break
 
+    def updatepos(self, i: int, j: int) -> int:
+        """No-op position tracking: the base class counts newlines to
+        maintain lineno/offset for getpos(), which we never use — this is
+        pure overhead on the hot parse path."""
+        return j
+
     def handle_data(self, data: str) -> None:
         if data:
             self._top().children.append(data)
