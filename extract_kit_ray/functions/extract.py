@@ -116,6 +116,37 @@ def extract_document(payload: bytes, url: str = "", *, strip_boilerplate: bool =
     """One payload -> one extracted record dict (see module docstring)."""
     t0 = time.perf_counter()
     n_in = len(payload) if payload is not None else 0
+
+    # plugin routing first (U6 surface, stages/plugins.py): a registered
+    # extractor that accepts the payload overrides the built-in chain
+    from ..stages import plugins as _plugins
+
+    plugin = _plugins.route(payload or b"", url) if _plugins.registered() else None
+    if plugin is not None:
+        try:
+            fields = plugin.extract(payload or b"", url)
+            spans = [
+                Span(s["start"], s["end"], s["kind"]) if isinstance(s, dict) else s
+                for s in fields.get("spans", [])
+            ]
+            return _result(
+                plugin.name,
+                title=fields.get("title", ""),
+                text=fields.get("text", ""),
+                spans=spans,
+                valid=fields.get("valid", True),
+                errors=fields.get("errors", []),
+                n_pages=fields.get("n_pages", 1),
+                n_bytes_in=n_in,
+                parse_ms=(time.perf_counter() - t0) * 1e3,
+            )
+        except Exception as exc:  # plugin failure is data, not a crash
+            return _result(
+                plugin.name, valid=False,
+                errors=[f"plugin error: {type(exc).__name__}: {exc}"],
+                n_bytes_in=n_in, parse_ms=(time.perf_counter() - t0) * 1e3,
+            )
+
     kind = detect.detect_doc_kind(payload or b"")
 
     try:

@@ -228,3 +228,51 @@ def test_permutation_params_deterministic():
     a2, b2 = permutation_params(16)
     assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
     assert np.all(a1 % 2 == 1)  # odd multipliers
+
+
+def test_extractor_plugin_protocol():
+    """U6 extension surface: a registered plugin overrides built-in
+    routing for payloads it accepts; failures stay data; unregister
+    restores the builtins (converter.ts:104-113 analog)."""
+    from extract_kit_ray.functions.extract import extract_document
+    from extract_kit_ray.stages import plugins
+
+    class CsvExtractor:
+        name = "csv"
+
+        def accepts(self, payload, url):
+            return payload.startswith(b"id,")
+
+        def extract(self, payload, url):
+            rows = payload.decode("utf-8").strip().split("\n")
+            text = "\n".join(rows[1:]) + "\n"
+            return {"title": rows[0], "text": text,
+                    "spans": [{"start": 0, "end": len(text) - 1, "kind": "table"}]}
+
+    plugins.register(CsvExtractor())
+    try:
+        rec = extract_document(b"id,name\n1,a\n2,b\n", "https://x.example/d.csv")
+        assert rec["doc_kind"] == "csv" and rec["valid"]
+        assert rec["title"] == "id,name" and rec["text"] == "1,a\n2,b\n"
+        assert rec["spans"][0]["kind"] == "table"
+        # non-matching payloads still hit the builtin chain
+        rec2 = extract_document(b"<html><body><p>hi there</p></body></html>")
+        assert rec2["doc_kind"] == "html"
+
+        class Broken:
+            name = "broken"
+
+            def accepts(self, payload, url):
+                return payload.startswith(b"BRK")
+
+            def extract(self, payload, url):
+                raise RuntimeError("boom")
+
+        plugins.register(Broken())
+        rec3 = extract_document(b"BRK!")
+        assert not rec3["valid"] and "plugin error" in rec3["errors"][0]
+    finally:
+        plugins.unregister("csv")
+        plugins.unregister("broken")
+    assert plugins.registered() == []
+    assert extract_document(b"id,name\n1,a\n")["doc_kind"] != "csv"
