@@ -102,21 +102,128 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
 
 
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor."""
+    """Actor-pool stage: permutation params AND a token-hash cache built
+    once per actor.
+
+    Hot-path design: tokens are blake2b-hashed once and memoized (web
+    vocabulary is Zipfian, so the per-actor cache absorbs most lookups);
+    shingle hashes are a vectorized position-weighted rolling combine of
+    the token hashes (numpy uint64, wraparound arithmetic) rather than
+    per-shingle string joins + hashes.  Deterministic across processes
+    and platforms: blake2b + fixed odd constants, no salted hash()."""
 
     def __init__(self, text_col: str = "text", n_perm: int = 64, shingle_w: int = 3,
-                 seed: int = 1337):
+                 seed: int = 1337, token_cache_max: int = 1_000_000):
         self.text_col = text_col
         self.n_perm = n_perm
         self.shingle_w = shingle_w
         self.a, self.b = permutation_params(n_perm, seed)
+        # position constants for the rolling combine (odd -> invertible)
+        self._pos_c = mix64(
+            (np.arange(1, shingle_w + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+        ) | np.uint64(1)
+        self._token_cache: dict[str, int] = {}
+        self._token_cache_max = token_cache_max
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        words = text.split()
+        if not words:
+            return np.array([], dtype=np.uint64)
+        cache = self._token_cache
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = hash64(w)
+                if len(cache) < self._token_cache_max:
+                    cache[w] = h
+            hs[i] = h
+        w_ = self.shingle_w
+        with np.errstate(over="ignore"):
+            if len(words) < w_:
+                c = self._pos_c[: len(words)]
+                return mix64((hs * c).sum(dtype=np.uint64, keepdims=True))
+            windows = np.lib.stride_tricks.sliding_window_view(hs, w_)
+            combined = mix64((windows * self._pos_c).sum(axis=1, dtype=np.uint64))
+        return np.unique(combined)
+
+    # max shingles per vectorized chunk: permuted matrix is
+    # chunk x n_perm x 8B (32k x 64 -> 16 MB), bounding actor heap
+    _CHUNK_SHINGLES = 32_768
+
+    def _token_hashes(self, words: list[str]) -> np.ndarray:
+        cache = self._token_cache
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = hash64(w)
+                if len(cache) < self._token_cache_max:
+                    cache[w] = h
+            hs[i] = h
+        return hs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = []
-        for text in batch[self.text_col].to_pylist():
-            sh = word_shingles(text or "", self.shingle_w)
-            sig = minhash_signature(sh, self.a, self.b)
-            sigs.append(sig.astype(np.int64).tolist())  # two's-complement view
+        """Batch-vectorized: all docs' token hashes concatenate into one
+        array; shingle windows that would span doc boundaries are masked
+        out; signatures come from ONE permute + segment-min
+        (np.minimum.reduceat) per chunk instead of per-doc numpy calls.
+        Duplicate shingles are NOT deduped — min() is idempotent under
+        duplicates, so results equal the per-doc unique'd path."""
+        texts = batch[self.text_col].to_pylist()
+        w_ = self.shingle_w
+        n_docs = len(texts)
+        sigs: list[list[int] | None] = [None] * n_docs
+        maxsig = np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+
+        long_idx: list[int] = []      # docs entering the batch path
+        long_hs: list[np.ndarray] = []
+        with np.errstate(over="ignore"):
+            for i, text in enumerate(texts):
+                words = (text or "").split()
+                if not words:
+                    sigs[i] = maxsig.astype(np.int64).tolist()
+                elif len(words) < w_:
+                    hs = self._token_hashes(words)
+                    sh = mix64((hs * self._pos_c[: len(hs)]).sum(
+                        dtype=np.uint64, keepdims=True))
+                    sigs[i] = minhash_signature(sh, self.a, self.b).astype(
+                        np.int64).tolist()
+                else:
+                    long_idx.append(i)
+                    long_hs.append(self._token_hashes(words))
+
+            # chunk the long docs by total shingle count
+            pos = 0
+            while pos < len(long_idx):
+                end = pos
+                total = 0
+                while end < len(long_idx) and total < self._CHUNK_SHINGLES:
+                    total += len(long_hs[end]) - w_ + 1
+                    end += 1
+                chunk_hs = long_hs[pos:end]
+                concat = np.concatenate(chunk_hs)
+                windows = np.lib.stride_tricks.sliding_window_view(concat, w_)
+                all_sh = mix64((windows * self._pos_c).sum(axis=1, dtype=np.uint64))
+                # valid window starts: within-doc only
+                lens = np.array([len(h) for h in chunk_hs], dtype=np.int64)
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                keep = np.zeros(len(all_sh), dtype=bool)
+                seg_starts = []
+                kept_before = 0
+                for d in range(len(chunk_hs)):
+                    s, e = offs[d], offs[d] + lens[d] - w_ + 1
+                    keep[s:e] = True
+                    seg_starts.append(kept_before)
+                    kept_before += e - s
+                sh_kept = all_sh[keep]
+                permuted = mix64(sh_kept[:, None] * self.a[None, :] + self.b[None, :])
+                mins = np.minimum.reduceat(permuted, np.array(seg_starts), axis=0)
+                for row, i in enumerate(long_idx[pos:end]):
+                    sigs[i] = mins[row].astype(np.int64).tolist()
+                pos = end
+
         return batch.append_column("minhash", pa.array(sigs, pa.list_(pa.int64())))
 
 
