@@ -202,11 +202,122 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+# ---------------------------------------------------------------------------
+# fast tokenizer for the common well-formed subset
+# ---------------------------------------------------------------------------
+#
+# ``html.parser`` is ~half of extraction CPU.  This tokenizer handles the
+# clean-markup subset with one regex scan and drives the SAME
+# ``_TreeBuilder`` handlers (tree-building semantics — implied closes,
+# void elements, depth cap — are shared by construction).  ANY construct
+# it cannot map 1:1 onto HTMLParser behavior triggers a per-document
+# fallback to the stdlib parser:
+#   - comments / declarations / processing instructions  (<!  <?)
+#   - <script>/<style> (stdlib switches to CDATA mode)
+#   - a '<' that doesn't open a well-formed tag (tolerant-recovery paths)
+#   - end tags carrying attributes / junk
+#   - attribute blobs that don't match the strict grammar below
+# Equivalence is enforced by tests/test_fast_parser_differential.py
+# (fixture corpus + adversarial strings: tree must equal stdlib's).
+
+import re as _re
+from html import unescape as _unescape
+
+# one token per scan step: comment | declaration | PI | start/end tag.
+# Comments/decls/PIs are DROPPED by our handlers exactly like stdlib's,
+# and crucially still split surrounding text into separate data events.
+_TOKEN_RE = _re.compile(
+    r"<!--(?P<comment>.*?)-->"
+    r"|<!(?P<decl>(?!--)[^>]*)>"
+    r"|<\?(?P<pi>[^>]*)>"
+    r"|<(?P<closing>/?)(?P<tag>[a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"(?P<blob>(?:\"[^\"]*\"|'[^']*'|[^>])*)>",
+    _re.DOTALL,
+)
+# strict attribute-blob grammar: sequences of name[=value] with quoted or
+# simple unquoted values, optional trailing '/' (XHTML self-close)
+_ATTRS_OK = _re.compile(
+    r"^(?:\s+[^\s/=>\"'<][^\s/=>\"'<]*"
+    r"(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'|[^>\s\"'`=<]+))?)*\s*/?\s*$"
+)
+_ATTR_RE = _re.compile(
+    r"\s+([^\s/=>\"'<][^\s/=>\"'<]*)"
+    r"(?:\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^>\s\"'`=<]+)))?"
+)
+_CDATA_TAGS = _re.compile(r"<script|<style", _re.IGNORECASE)
+
+#: count of documents routed to the stdlib parser (observability)
+FALLBACK_COUNT = 0
+
+
+def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
+    attrs: list[tuple[str, str | None]] = []
+    for m in _ATTR_RE.finditer(blob):
+        name = m.group(1).lower()
+        value = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4))
+        if value is not None and "&" in value:
+            value = _unescape(value)
+        attrs.append((name, value))
+    return attrs
+
+
+def _fast_parse(html: str) -> Node | None:
+    """One-scan tokenizer; returns None when the input needs stdlib."""
+    if _CDATA_TAGS.search(html):
+        return None  # stdlib switches to CDATA mode inside script/style
+    b = _TreeBuilder()
+    pos = 0
+    for m in _TOKEN_RE.finditer(html):
+        text = html[pos : m.start()]
+        if "<" in text:
+            return None  # stray '<' -> stdlib tolerant recovery differs
+        if text:
+            b.handle_data(_unescape(text) if "&" in text else text)
+        pos = m.end()
+        _comment, decl, _pi, closing, tag, blob = m.groups()
+        if tag is None:
+            if decl is not None and decl.startswith("["):
+                return None  # marked section (<![CDATA[...]]>): stdlib-specific
+            continue  # comment / decl / PI: dropped, like stdlib handlers
+        if closing:
+            if blob.strip():
+                return None  # end tag with attrs/junk: stdlib-specific
+            b.handle_endtag(tag.lower())
+        elif not blob:
+            b.handle_starttag(tag.lower(), [])
+        else:
+            if not _ATTRS_OK.match(blob):
+                return None
+            attrs = _parse_attrs(blob)
+            if blob.rstrip().endswith("/"):
+                b.handle_startendtag(tag.lower(), attrs)
+            else:
+                b.handle_starttag(tag.lower(), attrs)
+    tail = html[pos:]
+    if "<" in tail:
+        return None
+    if tail:
+        b.handle_data(_unescape(tail) if "&" in tail else tail)
+    return b.root
+
+
 def parse_html(html: str) -> Node:
     """Parse an HTML string into a Node tree rooted at a synthetic ``#root``.
 
-    Never raises on malformed markup (lenient recovery, see module docstring).
+    Never raises on malformed markup (lenient recovery, see module
+    docstring).  Clean markup takes the fast single-scan tokenizer; any
+    construct with parser-specific recovery semantics falls back to
+    stdlib ``HTMLParser`` per document.
     """
+    try:
+        root = _fast_parse(html)
+        if root is not None:
+            return root
+    except Exception:
+        pass
+    global FALLBACK_COUNT
+    FALLBACK_COUNT += 1
     builder = _TreeBuilder()
     try:
         builder.feed(html)
