@@ -195,8 +195,10 @@ def main() -> None:
         # runs per leg, best-of taken per leg: the sandbox VM has heavy
         # run-to-run CPU noise (±40% observed) that a single sample
         # cannot distinguish from real scaling behavior.
+        # sized so fixed startup (~3s worker spawn + actor init) stays a
+        # small fraction of the 32-CPU leg's wall time
         docs = args.docs if args.docs != BENCH_DOCS else int(
-            os.environ.get("GRAFT_SCALING_DOCS", "400000"))
+            os.environ.get("GRAFT_SCALING_DOCS", "600000"))
         runs: dict[int, list[dict]] = {8: [], 32: []}
         for attempt in range(2):
             for cpus in (8, 32):
