@@ -427,6 +427,51 @@ def q_chars_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([out])
 
 
+def q_vocab_topk(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary top-20 (canonical word-count): per-batch Counter
+    partials (the map-side combine — the shuffle moves one row per
+    distinct word per batch, never one per token), tiny groupby sum,
+    driver-side top-k of the word table."""
+    from collections import Counter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update((text or "").split())
+        return pa.table(
+            {"word": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort(["n", "word"], descending=[True, False]).limit(20)
+    return top.to_pandas()[["word", "n"]]
+
+
+def q_distinct_lang_source(sf_dir: str) -> "ray.data.Dataset":
+    """Set op (§2.8): distinct (lang, source) pairs via per-batch local
+    distinct + keyed groupby count (count kept as evidence)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": batch["lang"], "source": batch["source"],
+                      "one": pa.array([1] * len(batch), pa.int64())})
+            .group_by(["lang", "source"]).aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["lang", "source", "n_docs"])
+
+    partials = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["lang", "source"]).aggregate(
+        Sum("n_docs", alias_name="n_docs")
+    )
+
+
 _SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h (median inter-event gap ~7.3h)
 
 
@@ -683,6 +728,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "top_docs_per_source": q_top_docs_per_source,
     "chars_quantiles": q_chars_quantiles,
+    "vocab_topk": q_vocab_topk,
+    "distinct_lang_source": q_distinct_lang_source,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -770,6 +817,15 @@ ORACLE_SQL = {
         "SELECT quantile_disc(n_chars, 0.5) AS p50, "
         "quantile_disc(n_chars, 0.9) AS p90, "
         "quantile_disc(n_chars, 0.99) AS p99 FROM documents"
+    ),
+    "vocab_topk": (
+        "SELECT word, count(*) AS n FROM ("
+        "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents"
+        ") WHERE word <> '' GROUP BY word ORDER BY n DESC, word ASC LIMIT 20"
+    ),
+    "distinct_lang_source": (
+        "SELECT lang, source, count(*) AS n_docs FROM documents "
+        "GROUP BY lang, source"
     ),
     "sessionize": (
         "WITH g AS ("

@@ -30,6 +30,8 @@ CHECKED = [
     "sessionize",
     "top_docs_per_source",
     "chars_quantiles",
+    "vocab_topk",
+    "distinct_lang_source",
 ]
 
 
