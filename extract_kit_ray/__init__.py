@@ -19,3 +19,32 @@ driver / bench / test fixture.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy re-exports of the public API (keeps import light for Ray
+    workers that only need one stage)."""
+    _API = {
+        "extract_pages": ("extract_kit_ray.pipelines.flagship", "extract_pages"),
+        "read_pages": ("extract_kit_ray.pipelines.flagship", "read_pages"),
+        "HtmlExtractor": ("extract_kit_ray.stages.extract_stage", "HtmlExtractor"),
+        "SchemaValidator": ("extract_kit_ray.stages.validate_stage", "SchemaValidator"),
+        "extract_layout_fanout": ("extract_kit_ray.stages.pdf_stage", "extract_layout_fanout"),
+        "lineage_rollup": ("extract_kit_ray.pipelines.lineage", "lineage_rollup"),
+        "run_partitioned_extract": ("extract_kit_ray.pipelines.resume", "run_partitioned_extract"),
+        "read_extracted": ("extract_kit_ray.pipelines.resume", "read_extracted"),
+        "extract_document": ("extract_kit_ray.functions.extract", "extract_document"),
+        "compile_json_schema": ("extract_kit_ray.schemas", "compile_json_schema"),
+        "exact_dedup": ("extract_kit_ray.ops.dedup", "exact_dedup"),
+        "minhash_lsh_dedup": ("extract_kit_ray.ops.dedup", "minhash_lsh_dedup"),
+        "brute_force_topk": ("extract_kit_ray.ops.similarity", "brute_force_topk"),
+        "lsh_topk": ("extract_kit_ray.ops.similarity", "lsh_topk"),
+        "ivf_topk": ("extract_kit_ray.ops.similarity", "ivf_topk"),
+    }
+    try:
+        mod_name, attr = _API[name]
+    except KeyError:
+        raise AttributeError(f"module 'extract_kit_ray' has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
