@@ -115,11 +115,29 @@ class LshBucketer:
         return batch.append_column("lsh_bucket", pa.array(buckets.tolist(), pa.int64()))
 
 
+def _probe_masks(n_bits: int, probe_bits: int) -> list[int]:
+    """XOR masks for multi-probe: all masks with <= probe_bits set bits."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        for combo in combinations(range(n_bits), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, n_bits: int = 12,
+             probe_bits: int = 1,
              vec_col: str = "embedding", key_col: str = "vec_id",
              seed: int = 2024, concurrency=4, num_cpus: float = 0.5) -> pd.DataFrame:
     """Approximate top-k: bucket corpus by hyperplane signature, score a
-    query only against its bucket + all single-bit-flip neighbor buckets.
+    query only against its bucket + all neighbor buckets within
+    ``probe_bits`` bit flips (multi-probe decouples recall from bucket
+    count: raise n_bits for smaller buckets, raise probe_bits to win the
+    recall back without re-bucketing).
 
     Partitioning assumption: bucket sizes are ~n/2^n_bits; skewed buckets
     (degenerate embeddings) degrade to brute force within the bucket.
@@ -138,9 +156,10 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, n_bits: int = 12,
         num_cpus=num_cpus,
     )
     q_buckets = lsh_bucket_ids(queries, planes)
+    masks = _probe_masks(n_bits, probe_bits)
     probe: dict[int, list[int]] = {}
     for qid, b in enumerate(q_buckets):
-        wanted = {int(b)} | {int(b) ^ (1 << i) for i in range(n_bits)}
+        wanted = {int(b) ^ m for m in masks}
         for w in wanted:
             probe.setdefault(w, []).append(qid)
 
@@ -246,9 +265,24 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, n_lists: int = 16,
     within the probed lists (recall unchanged, wall time grows).
     """
     queries = _normalize(np.asarray(queries, dtype=np.float32))
-    cents = train_centroids(
-        train_sample if train_sample is not None else queries, n_lists, seed=seed
-    )
+    if train_sample is None:
+        # deterministic hash-based corpus sample (bounded readout; at
+        # scale the filter runs distributed and ships only sampled rows)
+        from ..functions.hashing import hash64
+
+        def _sample(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_pylist()
+            mask = pa.array([hash64(f"ivf:{k}") % 8 == 0 for k in keys])
+            return batch.filter(mask)
+
+        rows = (
+            ds.map_batches(_sample, batch_format="pyarrow", zero_copy_batch=True)
+            .limit(4096).take_all()
+        )
+        train_sample = np.asarray([r[vec_col] for r in rows], dtype=np.float32)
+        if len(train_sample) == 0:
+            train_sample = queries
+    cents = train_centroids(train_sample, n_lists, seed=seed)
     cents_ref = ray.put(cents)
     assigned = ds.map_batches(
         IvfAssigner, fn_constructor_kwargs={"cents_ref": cents_ref, "vec_col": vec_col},

@@ -223,3 +223,49 @@ def test_textops_stages(ray_session):
         assert r["n_tokens_ws"] == len((r["text"] or "").split())
         assert 0.0 <= r["q_quality_score"] <= 1.0
         assert isinstance(r["fingerprint"], int)
+
+
+def test_lsh_multiprobe_recall_improves(ray_session):
+    """probe_bits=2 must find at least as much as probe_bits=1 at high
+    n_bits (multi-probe decouples recall from bucket count)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from extract_kit_ray.ops.similarity import brute_force_topk, lsh_topk
+
+    mat = np.asarray(pq.read_table(f"{SF}/embeddings.parquet")["embedding"].to_pylist(),
+                     dtype=np.float32)
+    queries = mat[:4]
+    exact = brute_force_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), queries, k=5, concurrency=2)
+
+    def recall(approx):
+        rs = []
+        for q in range(4):
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            rs.append(len(e & a) / 5)
+        return sum(rs) / len(rs)
+
+    r1 = recall(lsh_topk(ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+                         queries, k=5, n_bits=8, probe_bits=1, concurrency=2))
+    r2 = recall(lsh_topk(ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+                         queries, k=5, n_bits=8, probe_bits=2, concurrency=2))
+    assert r2 >= r1
+
+
+def test_ivf_no_sample_path(ray_session):
+    """ivf_topk with no explicit train_sample draws a deterministic
+    hash-based corpus sample and still returns k neighbors per query."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from extract_kit_ray.ops.similarity import ivf_topk
+
+    mat = np.asarray(pq.read_table(f"{SF}/embeddings.parquet")["embedding"].to_pylist(),
+                     dtype=np.float32)
+    out = ivf_topk(ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+                   mat[:3], k=5, n_lists=8, n_probe=4, concurrency=2)
+    assert set(out["query_id"]) == {0, 1, 2}
+    for q in range(3):
+        assert len(out[out["query_id"] == q]) == 5
