@@ -366,6 +366,83 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     )
 
 
+def minhash_lsh_dedup_distributed(
+    ds, *, text_col: str = "text", key_col: str = "doc_id",
+    n_perm: int = 64, n_bands: int = 16, threshold: float = 0.8,
+    concurrency=4, num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Corpus-scale variant of :func:`minhash_lsh_dedup`: candidate
+    verification happens via hash joins of the signature table onto both
+    pair endpoints (no driver-side signature map), and clustering is
+    distributed min-label propagation (ops/components.py) instead of
+    driver union-find.  Semantics identical; only the label table is
+    collected at the end (one row per key).
+    """
+    from .components import connected_components
+
+    pairs_ds, sigs_ds = minhash_lsh_candidates(
+        ds, text_col=text_col, key_col=key_col, n_perm=n_perm,
+        n_bands=n_bands, concurrency=concurrency,
+    )
+
+    def dedupe_pairs(batch: pa.Table) -> pa.Table:
+        # batch-local dedupe; cross-batch dups are harmless for both the
+        # join verification and label propagation (idempotent)
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs_ds = pairs_ds.map_batches(dedupe_pairs, batch_format="pyarrow")
+
+    # verify: join signatures onto both endpoints, estimate Jaccard per
+    # row.  Arrow hash joins reject list-typed payload columns, so the
+    # signature rides along as a packed int64-LE binary blob.
+    def _packed(b: pa.Table, key_out: str, sig_out: str) -> pa.Table:
+        import numpy as _np
+
+        blobs = [
+            _np.asarray(s, dtype=_np.int64).tobytes() for s in b["minhash"].to_pylist()
+        ]
+        return pa.table({key_out: b[key_col], sig_out: pa.array(blobs, pa.binary())})
+
+    sig_a = sigs_ds.map_batches(
+        _packed, fn_kwargs={"key_out": "key_a_j", "sig_out": "sig_a"},
+        batch_format="pyarrow", zero_copy_batch=True)
+    sig_b = sigs_ds.map_batches(
+        _packed, fn_kwargs={"key_out": "key_b_j", "sig_out": "sig_b"},
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = pairs_ds.join(
+        sig_a, join_type="inner", num_partitions=num_partitions,
+        on=("key_a",), right_on=("key_a_j",),
+    ).join(
+        sig_b, join_type="inner", num_partitions=num_partitions,
+        on=("key_b",), right_on=("key_b_j",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ka = batch["key_a"].to_pylist()
+        kb = batch["key_b"].to_pylist()
+        sa = batch["sig_a"].to_pylist()
+        sb = batch["sig_b"].to_pylist()
+        keep_a, keep_b = [], []
+        for a, b, x, y in zip(ka, kb, sa, sb):
+            xs = _np.frombuffer(x, dtype=_np.int64)
+            ys = _np.frombuffer(y, dtype=_np.int64)
+            if float(_np.mean(xs == ys)) >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.table({"key_a": pa.array(keep_a, pa.int64()),
+                         "key_b": pa.array(keep_b, pa.int64())})
+
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    labels = connected_components(
+        verified, sigs_ds, key_col=key_col, num_partitions=num_partitions
+    )
+    labels["is_dup"] = labels[key_col] != labels["cluster_rep"]
+    return labels.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

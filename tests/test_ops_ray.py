@@ -269,3 +269,26 @@ def test_ivf_no_sample_path(ray_session):
     assert set(out["query_id"]) == {0, 1, 2}
     for q in range(3):
         assert len(out[out["query_id"] == q]) == 5
+
+
+def test_minhash_distributed_matches_driver(dup_docs, ray_session):
+    """The corpus-scale path (join verification + distributed min-label
+    propagation) must produce the same clustering as the driver path."""
+    from extract_kit_ray.ops.dedup import minhash_lsh_dedup, minhash_lsh_dedup_distributed
+
+    a = minhash_lsh_dedup(dup_docs, threshold=0.6).sort_values("doc_id").reset_index(drop=True)
+    b = minhash_lsh_dedup_distributed(dup_docs, threshold=0.6, num_partitions=2)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "cluster_rep", "is_dup"]].values.tolist() == \
+        b[["doc_id", "cluster_rep", "is_dup"]].values.tolist()
+
+
+def test_minhash_distributed_on_documents(ray_session):
+    import ray.data
+
+    from extract_kit_ray.ops.dedup import minhash_lsh_dedup_distributed
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = minhash_lsh_dedup_distributed(ds, threshold=0.8, num_partitions=2)
+    assert len(out) == 500
+    assert (out["cluster_rep"] <= out["doc_id"]).all()  # rep is the min key
