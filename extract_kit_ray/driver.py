@@ -604,6 +604,50 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return minhash_lsh_dedup(ds, threshold=0.8, concurrency=4)
 
 
+def q_minhash_dedup_distributed(sf_dir: str) -> pd.DataFrame:
+    """Corpus-scale near-dup path: join-verified candidates +
+    distributed min-label propagation (no driver-side signature map or
+    union-find)."""
+    from .ops.dedup import minhash_lsh_dedup_distributed
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup_distributed(ds, threshold=0.8, concurrency=4,
+                                         num_partitions=4)
+
+
+def q_segment_sales(sf_dir: str) -> "ray.data.Dataset":
+    """Shuffle hash join (Dataset.join) + rollup: orders joined to their
+    customer's market segment, exact cent-sums per segment.  The
+    broadcast-join pattern (revenue_by_brand) covers small sides; this is
+    the both-sides-large path."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        customer, join_type="inner", num_partitions=4,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"c_mktsegment": batch["c_mktsegment"],
+                      "one": pa.array([1] * len(batch), pa.int64()),
+                      "cents": cents})
+            .group_by("c_mktsegment").aggregate([("one", "sum"), ("cents", "sum")])
+        )
+        return g.rename_columns(["c_mktsegment", "n_orders", "sum_price_cents"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+    )
+
+
 def q_media_features(sf_dir: str) -> "ray.data.Dataset":
     """Multimodal plumbing demo over a deterministic synthetic media table
     (driver testdata has no binary media; generator is seed-fixed)."""
@@ -738,6 +782,8 @@ QUERIES = {
     "quality_signals": q_quality_signals,
     "fingerprints": q_fingerprints,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_dedup_distributed": q_minhash_dedup_distributed,
+    "segment_sales": q_segment_sales,
     "media_features": q_media_features,
     "flagship_fixture": q_flagship_fixture,
     "domain_lineage": q_domain_lineage,
@@ -817,6 +863,12 @@ ORACLE_SQL = {
         "SELECT quantile_disc(n_chars, 0.5) AS p50, "
         "quantile_disc(n_chars, 0.9) AS p90, "
         "quantile_disc(n_chars, 0.99) AS p99 FROM documents"
+    ),
+    "segment_sales": (
+        "SELECT c.c_mktsegment, count(*) AS n_orders, "
+        "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_price_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
     ),
     "vocab_topk": (
         "SELECT word, count(*) AS n FROM ("

@@ -32,6 +32,7 @@ CHECKED = [
     "chars_quantiles",
     "vocab_topk",
     "distinct_lang_source",
+    "segment_sales",
 ]
 
 
