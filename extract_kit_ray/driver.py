@@ -535,14 +535,14 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     list_cosine_similarity."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries, qids = _query_matrix(sf_dir)
-    out = brute_force_topk(ds, queries, k=_TOPK, concurrency=4)
+    out = brute_force_topk(ds, queries, k=_TOPK, concurrency=_pool()["concurrency"])
     return _remap_query_ids(out, qids)
 
 
 def q_lsh_topk(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries, qids = _query_matrix(sf_dir)
-    out = lsh_topk(ds, queries, k=_TOPK, n_bits=4, concurrency=4)
+    out = lsh_topk(ds, queries, k=_TOPK, n_bits=4, concurrency=_pool()["concurrency"])
     return _remap_query_ids(out, qids)
 
 
@@ -558,7 +558,7 @@ def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
         ["embedding"].to_pylist(), dtype=np.float32)
     queries, qids = _query_matrix(sf_dir)
     out = ivf_topk(ds, queries, k=_TOPK, n_lists=16, n_probe=4,
-                   train_sample=sample, concurrency=4)
+                   train_sample=sample, concurrency=_pool()["concurrency"])
     return _remap_query_ids(out, qids)
 
 
@@ -567,7 +567,8 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     the 0.35 threshold here exercises the bucketed pair-emission path on
     real data — production threshold stays ~0.95."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(ds, threshold=0.35, n_bits=4, concurrency=4)[
+    return embedding_near_dups(ds, threshold=0.35, n_bits=4,
+                               concurrency=_pool()["concurrency"])[
         ["key_a", "key_b"]
     ]
 
@@ -601,7 +602,7 @@ def q_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(ds, threshold=0.8, concurrency=4)
+    return minhash_lsh_dedup(ds, threshold=0.8, concurrency=_pool()["concurrency"])
 
 
 def q_minhash_dedup_distributed(sf_dir: str) -> pd.DataFrame:
@@ -611,7 +612,8 @@ def q_minhash_dedup_distributed(sf_dir: str) -> pd.DataFrame:
     from .ops.dedup import minhash_lsh_dedup_distributed
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dedup_distributed(ds, threshold=0.8, concurrency=4,
+    return minhash_lsh_dedup_distributed(ds, threshold=0.8,
+                                         concurrency=_pool()["concurrency"],
                                          num_partitions=4)
 
 
