@@ -120,6 +120,63 @@ def q_extract_html_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     return extracted.map_batches(_doc_id_from_url, batch_format="pyarrow")
 
 
+def _wrap_docs_as_docx(batch: pa.Table) -> pa.Table:
+    """documents rows -> minimal DOCX payloads (one paragraph per doc),
+    exercising the zip preprocess + document.xml -> HTML -> markdown
+    chain (SURVEY.md S9, M7-M9, M12-M13) on driver data."""
+    import io
+    import zipfile
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    urls = [f"https://docs.example/{i}.docx" for i in ids]
+    ts = [_DOC_EPOCH_US + int(i) for i in ids]
+    payloads = []
+    for t in texts:
+        doc = (
+            '<?xml version="1.0"?>\n<w:document xmlns:w='
+            '"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+            f"<w:body><w:p><w:r><w:t>{_html.escape(t or '')}</w:t></w:r></w:p>"
+            "</w:body></w:document>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("[Content_Types].xml", '<?xml version="1.0"?><Types/>')
+            z.writestr("word/document.xml", doc)
+        payloads.append(buf.getvalue())
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": pa.array(["unknown"] * len(ids), pa.string()),
+        }
+    )
+
+
+def q_extract_docx_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """DOCX-path byte-identity, SQL-checkable with the same
+    whitespace-collapse oracle as the HTML roundtrip."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pages = ds.map_batches(_wrap_docs_as_docx, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    extracted = pages.map_batches(
+        HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64, **_pool(),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1].split(".")[0]) for u in batch["url"].to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pc.cast(batch["text"], pa.string())}
+        )
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # dedup / text analysis over documents
 # ---------------------------------------------------------------------------
@@ -760,6 +817,7 @@ def q_domain_lineage(sf_dir: str) -> pa.Table:
 
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
+    "extract_docx_roundtrip": q_extract_docx_roundtrip,
     "exact_dedup_docs": q_exact_dedup_docs,
     "token_counts": q_token_counts,
     "long_docs": q_long_docs,
@@ -795,6 +853,10 @@ QUERIES = {
 
 ORACLE_SQL = {
     "extract_html_roundtrip": (
+        "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
+        "FROM documents"
+    ),
+    "extract_docx_roundtrip": (
         "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
         "FROM documents"
     ),

@@ -14,6 +14,7 @@ SF = "/root/testdata/sf0.001"
 # fast representative subset (full set runs in tools/check_contract.py)
 CHECKED = [
     "extract_html_roundtrip",
+    "extract_docx_roundtrip",
     "token_counts",
     "long_docs",
     "lang_rollup",
