@@ -177,6 +177,70 @@ def q_extract_docx_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     return extracted.map_batches(project, batch_format="pyarrow")
 
 
+_LAYOUT_WORDS_PER_PAGE = 40
+
+
+def _wrap_docs_as_layout(batch: pa.Table) -> pa.Table:
+    """documents rows -> multi-page ek-layout payloads (40 words/page,
+    one run per word), so the FAN-OUT path (1 doc -> N page rows ->
+    groupby(url) reassembly) gets an exact SQL oracle."""
+    import json
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    urls = [f"https://docs.example/{i}.layout" for i in ids]
+    ts = [_DOC_EPOCH_US + int(i) for i in ids]
+    payloads = []
+    for t in texts:
+        words = (t or "").split()
+        pages = []
+        for s in range(0, max(len(words), 1), _LAYOUT_WORDS_PER_PAGE):
+            chunk = words[s : s + _LAYOUT_WORDS_PER_PAGE]
+            runs = [
+                {"text": w, "x": 72.0 + 40.0 * j, "y": 720.0}
+                for j, w in enumerate(chunk)
+            ]
+            pages.append({"runs": runs})
+        payloads.append(
+            json.dumps({"kind": "ek-layout", "pages": pages}).encode("utf-8")
+        )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": pa.array(["unknown"] * len(ids), pa.string()),
+        }
+    )
+
+
+def q_layout_fanout_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """The skew-handling showcase with a byte-identity oracle: documents
+    chunked into 40-word layout pages -> flat-map page rows -> per-page
+    parse -> groupby(url).map_groups reassembly; reassembled text and
+    page counts are SQL-reconstructable."""
+    from .stages.pdf_stage import extract_layout_fanout
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pages = ds.map_batches(_wrap_docs_as_layout, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = extract_layout_fanout(pages)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1].split(".")[0]) for u in batch["url"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pc.cast(batch["text"], pa.string()),
+                "n_pages": pc.cast(batch["n_pages"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # dedup / text analysis over documents
 # ---------------------------------------------------------------------------
@@ -818,6 +882,7 @@ def q_domain_lineage(sf_dir: str) -> pa.Table:
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
+    "layout_fanout_roundtrip": q_layout_fanout_roundtrip,
     "exact_dedup_docs": q_exact_dedup_docs,
     "token_counts": q_token_counts,
     "long_docs": q_long_docs,
@@ -859,6 +924,18 @@ ORACLE_SQL = {
     "extract_docx_roundtrip": (
         "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
         "FROM documents"
+    ),
+    "layout_fanout_roundtrip": (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '') AS ws FROM documents) "
+        "SELECT doc_id, "
+        "array_to_string(ws[1:40], ' ') || "
+        "CASE WHEN len(ws) > 40 THEN chr(10) || chr(10) || "
+        "array_to_string(ws[41:80], ' ') ELSE '' END || "
+        "CASE WHEN len(ws) > 80 THEN chr(10) || chr(10) || "
+        "array_to_string(ws[81:120], ' ') ELSE '' END AS text, "
+        "CAST(ceil(len(ws) / 40.0) AS BIGINT) AS n_pages "
+        "FROM w"
     ),
     "exact_dedup_docs": (
         "SELECT doc_id, lang, source, n_chars FROM documents "

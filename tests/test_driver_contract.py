@@ -15,6 +15,7 @@ SF = "/root/testdata/sf0.001"
 CHECKED = [
     "extract_html_roundtrip",
     "extract_docx_roundtrip",
+    "layout_fanout_roundtrip",
     "token_counts",
     "long_docs",
     "lang_rollup",
