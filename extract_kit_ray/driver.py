@@ -252,6 +252,40 @@ def q_exact_dedup_docs(sf_dir: str) -> "ray.data.Dataset":
     return kept.select_columns(["doc_id", "lang", "source", "n_chars"])
 
 
+def q_unique_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Anti-join: docs whose text occurs exactly once corpus-wide.  The
+    duplicate-hash set comes from a narrow (hash, count) aggregate and is
+    broadcast into a filter — the anti-join never shuffles full rows."""
+    from ray.data.aggregate import Count as _Count
+
+    from .ops.dedup import add_text_hash as _ath
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    hashed = ds.map_batches(_ath, batch_format="pyarrow", zero_copy_batch=True)
+    counts = (
+        hashed.select_columns(["text_hash"])
+        .groupby("text_hash").aggregate(_Count(alias_name="n"))
+    )
+    dups_df = counts.filter(expr="n > 1").to_pandas()
+    # an all-filtered Dataset surfaces as a 0-column frame — no dups
+    dup_hashes = (
+        frozenset(dups_df["text_hash"]) if "text_hash" in dups_df.columns
+        else frozenset()
+    )
+    if not dup_hashes:
+        return hashed.drop_columns(["text_hash"]).select_columns(
+            ["doc_id", "lang", "source", "n_chars"]
+        )
+
+    def keep_unique(batch: pa.Table) -> pa.Table:
+        mask = pa.array([h not in dup_hashes for h in batch["text_hash"].to_pylist()])
+        return batch.filter(mask).drop_columns(["text_hash"])
+
+    return hashed.map_batches(
+        keep_unique, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
 def q_token_counts(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
@@ -884,6 +918,7 @@ QUERIES = {
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
     "layout_fanout_roundtrip": q_layout_fanout_roundtrip,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "unique_docs": q_unique_docs,
     "token_counts": q_token_counts,
     "long_docs": q_long_docs,
     "lang_rollup": q_lang_rollup,
@@ -940,6 +975,10 @@ ORACLE_SQL = {
     "exact_dedup_docs": (
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+    ),
+    "unique_docs": (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "QUALIFY count(*) OVER (PARTITION BY text) = 1"
     ),
     "token_counts": (
         "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), "

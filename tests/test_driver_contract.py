@@ -26,6 +26,7 @@ CHECKED = [
     "schema_validate",
     "ann_topk",
     "exact_dedup_docs",
+    "unique_docs",
     "revenue_by_brand",
     "events_hourly",
     "user_event_gaps",
