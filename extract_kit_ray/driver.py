@@ -989,34 +989,43 @@ ORACLE_SQL = {
         "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
         "AS n_tokens_ws FROM documents) WHERE n_tokens_ws >= 60"
     ),
+    # NOTE: every aggregate sum below is wrapped CAST(sum(...) AS BIGINT)
+    # because DuckDB promotes sum(BIGINT) to HUGEINT (arrow decimal128),
+    # while the engine returns int64 — the driver's value-hash is
+    # dtype-sensitive, so the unwrapped form fails hash_match even when
+    # every value is identical (round-1 lesson).
     "lang_rollup": (
-        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
         "FROM documents GROUP BY lang"
     ),
     "source_rollup": (
-        "SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars "
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
         "FROM documents GROUP BY source"
     ),
     "top_sources": (
-        "SELECT source, sum(n_chars) AS sum_chars FROM documents "
+        "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
         "GROUP BY source ORDER BY sum_chars DESC, source ASC LIMIT 5"
     ),
     "lineitem_pricing_rollup": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
-        "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_price_cents "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
     "events_type_rollup": (
         "SELECT event_type, count(*) AS n_events, "
         "count(DISTINCT user_id) AS n_users, "
-        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_cents "
         "FROM events GROUP BY event_type"
     ),
     "revenue_by_brand": (
         "SELECT p.p_brand, count(*) AS n_items, "
-        "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
-        "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) "
+        "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
         "AS revenue_centicents "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
         "GROUP BY p.p_brand"
@@ -1024,7 +1033,8 @@ ORACLE_SQL = {
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n_events, "
-        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_cents "
         "FROM events GROUP BY date_trunc('hour', ts), event_type"
     ),
     "user_event_gaps": (
@@ -1046,7 +1056,8 @@ ORACLE_SQL = {
     ),
     "segment_sales": (
         "SELECT c.c_mktsegment, count(*) AS n_orders, "
-        "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_price_cents "
+        "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_price_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     ),
@@ -1068,11 +1079,12 @@ ORACLE_SQL = {
         "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         "), s AS ("
         "  SELECT user_id, value, "
-        "         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "                             ROWS UNBOUNDED PRECEDING) AS session_no "
+        "         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no "
         "  FROM g"
         ") SELECT user_id, session_no, count(*) AS n_events, "
-        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_cents "
         "FROM s GROUP BY user_id, session_no"
     ),
     "schema_validate": (

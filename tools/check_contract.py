@@ -30,15 +30,23 @@ def to_arrow(res):
 
 
 def value_hash(tbl) -> str:
-    """Order-insensitive: sort columns by name, sort rows by all columns,
-    hash the CSV-ish rendering (mirrors the driver's described compare)."""
-    import pyarrow as pa
+    """Order-insensitive AND dtype-faithful: sort columns by name, sort
+    rows by all columns, hash ``type(v).__name__:repr(v)`` per cell.
+
+    Dtype-faithful matters: the driver's compare distinguishes e.g.
+    DuckDB's ``sum(BIGINT)`` -> HUGEINT (pandas ``Decimal``) from the
+    engine's int64 — round 1's CSV-stringified hash masked exactly that
+    class of mismatch (9 hash-fails the local gate called green)."""
 
     tbl = tbl.select(sorted(tbl.column_names))
     df = tbl.to_pandas()
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    blob = df.to_csv(index=False, float_format="%.6g").encode()
-    return hashlib.sha256(blob).hexdigest()[:16]
+    h = hashlib.sha256()
+    for col in df.columns:
+        h.update(col.encode())
+        for v in df[col].tolist():
+            h.update(f"{type(v).__name__}:{v!r};".encode())
+    return h.hexdigest()[:16]
 
 
 def main(sf_dir: str) -> int:
