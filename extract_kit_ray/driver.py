@@ -41,6 +41,36 @@ from .stages.extract_stage import HtmlExtractor
 _DOC_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z
 
 
+def cents(values, *, scale: int = 100):
+    """Exactly-N-decimal float measure -> exact int64 cents, with the
+    precondition ENFORCED.
+
+    All SQL-checked aggregates integerize per row before summing so
+    int64 arithmetic is engine-exact.  That discipline silently relies
+    on measures being exactly 2-decimal: a 3-decimal value lands between
+    cents, where the engine's half-to-even rounding and DuckDB's
+    half-away-from-zero diverge.  This helper asserts the precondition
+    (rounded value within epsilon of value*scale) so a non-conforming
+    measure fails loudly instead of hash-mismatching downstream.
+
+    Accepts a pyarrow Array/ChunkedArray (returns pa.int64 array) or
+    any numpy-coercible sequence (returns np.int64 array).
+    """
+    is_arrow = isinstance(values, (pa.Array, pa.ChunkedArray))
+    x = np.asarray(values, dtype=np.float64)
+    scaled = x * float(scale)
+    rounded = np.rint(scaled)
+    if not np.allclose(scaled, rounded, rtol=1e-9, atol=1e-6):
+        worst = float(np.max(np.abs(scaled - rounded)))
+        raise ValueError(
+            f"cents(scale={scale}): input is not exactly "
+            f"{len(str(scale)) - 1}-decimal (max deviation {worst:.3g}); "
+            "round-half-mode divergence between engines would be silent"
+        )
+    out = rounded.astype(np.int64)
+    return pa.array(out, pa.int64()) if is_arrow else out
+
+
 def _pool() -> dict:
     """Deadlock-proof actor-pool kwargs for fixed-size pools: adaptive
     concurrency with half-CPU reservation so the read / groupby task
@@ -263,23 +293,26 @@ def q_unique_docs(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     hashed = ds.map_batches(_ath, batch_format="pyarrow", zero_copy_batch=True)
     counts = (
-        hashed.select_columns(["text_hash"])
-        .groupby("text_hash").aggregate(_Count(alias_name="n"))
+        hashed.select_columns(["text_hash", "text_hash2"])
+        .groupby(["text_hash", "text_hash2"]).aggregate(_Count(alias_name="n"))
     )
     dups_df = counts.filter(expr="n > 1").to_pandas()
     # an all-filtered Dataset surfaces as a 0-column frame — no dups
     dup_hashes = (
-        frozenset(dups_df["text_hash"]) if "text_hash" in dups_df.columns
-        else frozenset()
+        frozenset(zip(dups_df["text_hash"], dups_df["text_hash2"]))
+        if "text_hash" in dups_df.columns else frozenset()
     )
     if not dup_hashes:
-        return hashed.drop_columns(["text_hash"]).select_columns(
+        return hashed.drop_columns(["text_hash", "text_hash2"]).select_columns(
             ["doc_id", "lang", "source", "n_chars"]
         )
 
     def keep_unique(batch: pa.Table) -> pa.Table:
-        mask = pa.array([h not in dup_hashes for h in batch["text_hash"].to_pylist()])
-        return batch.filter(mask).drop_columns(["text_hash"])
+        mask = pa.array(
+            [(a, b) not in dup_hashes for a, b in
+             zip(batch["text_hash"].to_pylist(), batch["text_hash2"].to_pylist())]
+        )
+        return batch.filter(mask).drop_columns(["text_hash", "text_hash2"])
 
     return hashed.map_batches(
         keep_unique, batch_format="pyarrow", zero_copy_batch=True
@@ -367,7 +400,7 @@ def q_lineitem_pricing_rollup(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         qty = pc.cast(batch["l_quantity"], pa.int64())  # integral by construction
-        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        price_cents = cents(batch["l_extendedprice"])
         g = (
             pa.table(
                 {
@@ -375,7 +408,7 @@ def q_lineitem_pricing_rollup(sf_dir: str) -> "ray.data.Dataset":
                     "l_linestatus": batch["l_linestatus"],
                     "one": pa.array([1] * len(batch), pa.int64()),
                     "qty": qty,
-                    "cents": cents,
+                    "cents": price_cents,
                 }
             )
             .group_by(["l_returnflag", "l_linestatus"])
@@ -405,14 +438,14 @@ def q_events_type_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        value_cents = cents(batch["value"])
         g = (
             pa.table(
                 {
                     "event_type": batch["event_type"],
                     "user_id": batch["user_id"],
                     "one": pa.array([1] * len(batch), pa.int64()),
-                    "cents": cents,
+                    "cents": value_cents,
                 }
             )
             .group_by(["event_type", "user_id"])
@@ -457,8 +490,8 @@ def q_revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
             # int64 "centi-cents" — no round-half-mode ambiguity between
             # engines (price*(1-disc)*100 lands on exact .5 for ~1% of
             # rows, where banker's and half-away rounding diverge)
-            price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
-            disc_pct = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64())
+            price_c = cents(batch["l_extendedprice"])
+            disc_pct = cents(batch["l_discount"])
             centicents = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
             g = (
                 pa.table({"p_brand": pa.array(brands, pa.string()),
@@ -490,10 +523,10 @@ def q_events_hourly(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        value_cents = cents(batch["value"])
         g = (
             pa.table({"window_start": hour, "event_type": batch["event_type"],
-                      "one": pa.array([1] * len(batch), pa.int64()), "cents": cents})
+                      "one": pa.array([1] * len(batch), pa.int64()), "cents": value_cents})
             .group_by(["window_start", "event_type"])
             .aggregate([("one", "sum"), ("cents", "sum")])
         )
@@ -647,9 +680,9 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
         if len(g) > 1:
             new_sess[1:] = (np.diff(us) > _SESSION_GAP_US).astype(np.int64)
         session_no = np.cumsum(new_sess)
-        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        value_cents = cents(g["value"].to_numpy())
         out = pd.DataFrame(
-            {"session_no": session_no, "cents": cents}
+            {"session_no": session_no, "cents": value_cents}
         ).groupby("session_no", sort=True).agg(
             n_events=("cents", "size"), sum_value_cents=("cents", "sum")
         ).reset_index()
@@ -789,11 +822,11 @@ def q_segment_sales(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        price_cents = cents(batch["o_totalprice"])
         g = (
             pa.table({"c_mktsegment": batch["c_mktsegment"],
                       "one": pa.array([1] * len(batch), pa.int64()),
-                      "cents": cents})
+                      "cents": price_cents})
             .group_by("c_mktsegment").aggregate([("one", "sum"), ("cents", "sum")])
         )
         return g.rename_columns(["c_mktsegment", "n_orders", "sum_price_cents"])
@@ -960,17 +993,22 @@ ORACLE_SQL = {
         "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
         "FROM documents"
     ),
+    # general over ANY page count (list_transform over generate_series),
+    # and empty docs yield one empty page (greatest(..., 1)) matching the
+    # engine's max(len(words), 1) wrap — round-1 advisor flagged the
+    # fixed 3-page reconstruction as silently input-bounded
     "layout_fanout_roundtrip": (
         "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
-        "x -> x <> '') AS ws FROM documents) "
+        "x -> x <> '') AS ws FROM documents), "
+        "p AS (SELECT doc_id, ws, "
+        f"greatest(CAST(ceil(len(ws) / {_LAYOUT_WORDS_PER_PAGE}.0) AS BIGINT), 1) "
+        "AS np FROM w) "
         "SELECT doc_id, "
-        "array_to_string(ws[1:40], ' ') || "
-        "CASE WHEN len(ws) > 40 THEN chr(10) || chr(10) || "
-        "array_to_string(ws[41:80], ' ') ELSE '' END || "
-        "CASE WHEN len(ws) > 80 THEN chr(10) || chr(10) || "
-        "array_to_string(ws[81:120], ' ') ELSE '' END AS text, "
-        "CAST(ceil(len(ws) / 40.0) AS BIGINT) AS n_pages "
-        "FROM w"
+        "array_to_string(list_transform(generate_series(1, np), i -> "
+        f"array_to_string(ws[(i-1)*{_LAYOUT_WORDS_PER_PAGE}+1 : "
+        f"i*{_LAYOUT_WORDS_PER_PAGE}], ' ')), chr(10) || chr(10)) AS text, "
+        "np AS n_pages "
+        "FROM p"
     ),
     "exact_dedup_docs": (
         "SELECT doc_id, lang, source, n_chars FROM documents "

@@ -28,6 +28,22 @@ def hash64_signed(data: bytes | str, seed: int = 0) -> int:
     return hash64(data, seed) - (1 << 63)
 
 
+def hash128_signed(data: bytes | str, seed: int = 0) -> tuple[int, int]:
+    """Stable 128-bit hash as two signed int64s (lo, hi).
+
+    Dedup keys use the full 128 bits: at 10^10 documents a 64-bit key
+    expects ~2.7M birthday collisions (n^2/2^65) silently merging
+    distinct docs; at 128 bits the expectation is ~1.5e-19 — safe
+    without a text-verification pass."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    d = hashlib.blake2b(data, digest_size=16, key=seed.to_bytes(8, "little")).digest()
+    return (
+        int.from_bytes(d[:8], "little") - (1 << 63),
+        int.from_bytes(d[8:], "little") - (1 << 63),
+    )
+
+
 def content_checksum(values: list[bytes | str]) -> int:
     """Order-independent checksum of a set of values (sum of hash64 mod 2^64).
 

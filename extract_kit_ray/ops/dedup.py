@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hash64, mix64, permutation_params
+from ..functions.hashing import hash64, hash128_signed, mix64, permutation_params
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -32,8 +32,17 @@ from ..functions.hashing import hash64, mix64, permutation_params
 
 
 def add_text_hash(batch: pa.Table, text_col: str = "text", out_col: str = "text_hash") -> pa.Table:
-    hashes = [hash64(t or "") - (1 << 63) for t in batch[text_col].to_pylist()]
-    return batch.append_column(out_col, pa.array(hashes, pa.int64()))
+    """Append a 128-bit content hash as two int64 columns
+    (``out_col``, ``out_col + '2'``).
+
+    128 bits because dedup equates documents by hash with no text
+    verification: a 64-bit key expects ~2.7M birthday collisions at
+    10^10 docs (n^2/2^65), silently merging distinct documents; at 128
+    bits the expected collision count is ~1.5e-19 (see
+    ``hashing.hash128_signed``)."""
+    pairs = [hash128_signed(t or "") for t in batch[text_col].to_pylist()]
+    batch = batch.append_column(out_col, pa.array([p[0] for p in pairs], pa.int64()))
+    return batch.append_column(out_col + "2", pa.array([p[1] for p in pairs], pa.int64()))
 
 
 def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
@@ -41,9 +50,9 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
 
     SQL-oracle equivalent: ``SELECT min(doc_id) ... GROUP BY text``.
 
-    Scale shape: the only shuffle moves 16-byte (hash, key) pairs — full
-    text rows NEVER shuffle.  The duplicate-cluster table (hash -> min
-    key, only hashes with count > 1) is assumed small relative to the
+    Scale shape: the only shuffle moves 24-byte (hash128, key) tuples —
+    full text rows NEVER shuffle.  The duplicate-cluster table (hash ->
+    min key, only hashes with count > 1) is assumed small relative to the
     corpus (true for web-scale dup rates) and is broadcast into a filter;
     a ``groupby(text_hash).map_groups`` fallback covers adversarial
     all-duplicate corpora but pays per-group Python overhead.
@@ -55,22 +64,25 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
         zero_copy_batch=True,
     )
     groups = (
-        hashed.select_columns(["text_hash", key_col])
-        .groupby("text_hash")
+        hashed.select_columns(["text_hash", "text_hash2", key_col])
+        .groupby(["text_hash", "text_hash2"])
         .aggregate(Min(key_col, alias_name="min_key"), Count(alias_name="n"))
     )
     dup_rows = groups.filter(expr="n > 1").to_pandas()
     if len(dup_rows) == 0:
-        return hashed.drop_columns(["text_hash"])
-    min_by_hash = dict(zip(dup_rows["text_hash"], dup_rows["min_key"]))
+        return hashed.drop_columns(["text_hash", "text_hash2"])
+    min_by_hash = dict(
+        zip(zip(dup_rows["text_hash"], dup_rows["text_hash2"]), dup_rows["min_key"])
+    )
 
     def keep(batch: pa.Table) -> pa.Table:
-        hashes = batch["text_hash"].to_pylist()
+        h1 = batch["text_hash"].to_pylist()
+        h2 = batch["text_hash2"].to_pylist()
         keys = batch[key_col].to_pylist()
         mask = pa.array(
-            [min_by_hash.get(h, k) == k for h, k in zip(hashes, keys)]
+            [min_by_hash.get((a, b), k) == k for a, b, k in zip(h1, h2, keys)]
         )
-        return batch.filter(mask).drop_columns(["text_hash"])
+        return batch.filter(mask).drop_columns(["text_hash", "text_hash2"])
 
     return hashed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -467,9 +479,22 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def simhash_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
                        max_hamming: int = 3):
-    """SimHash near-dup candidates: band the 64-bit signature into 4
-    16-bit keys (any pair within Hamming<=3 of each other shares at least
-    one band by pigeonhole when bits differ in <=3 of 4 bands)."""
+    """SimHash near-dup candidates: band the 64-bit signature into
+    ``max_hamming + 1`` contiguous bit ranges — by pigeonhole, any pair
+    within Hamming<=max_hamming differs in at most max_hamming bands, so
+    at least one band matches exactly.  Band count is DERIVED from
+    max_hamming (a fixed 4-band split silently under-recalls for
+    max_hamming >= 4 — round-1 advisor finding); max_hamming must stay
+    below 64 bands of >= 1 bit."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    # contiguous bit ranges covering all 64 bits (first bands get the
+    # extra bits when 64 % n_bands != 0)
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    starts = [sum(widths[:i]) for i in range(n_bands)]
+
     hashed = ds.map_batches(
         add_simhash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
         zero_copy_batch=True,
@@ -481,15 +506,18 @@ def simhash_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
         ob, ok2, osig, okey = [], [], [], []
         for key, sig in zip(keys, sigs):
             u = sig + (1 << 63)
-            for band in range(4):
+            for band in range(n_bands):
+                v = (u >> starts[band]) & ((1 << widths[band]) - 1)
+                if v >= (1 << 63):  # 64-bit band (max_hamming=0) -> fold to int64
+                    v -= 1 << 64
                 ob.append(band)
-                ok2.append((u >> (band * 16)) & 0xFFFF)
+                ok2.append(v)
                 osig.append(sig)
                 okey.append(key)
         return pa.table(
             {
                 "band_id": pa.array(ob, pa.int32()),
-                "band_key": pa.array(ok2, pa.int32()),
+                "band_key": pa.array(ok2, pa.int64()),
                 "simhash": pa.array(osig, pa.int64()),
                 key_col: pa.array(okey, pa.int64()),
             }

@@ -62,6 +62,13 @@ def fanout_layout_batch(batch: pa.Table) -> pa.Table:
         except Exception:
             emit(url, t, lang, -1, 0, "")
             continue
+        # totality: a pages value that is not a non-empty list must still
+        # produce a row (empty list -> doc silently absent; str/dict ->
+        # bogus fabricated pages), mirroring parse_layout_payload's
+        # validation so failure stays data end-to-end
+        if not isinstance(pages, list) or not pages:
+            emit(url, t, lang, -1, 0, "")
+            continue
         for i, page in enumerate(pages):
             runs = page.get("runs", []) if isinstance(page, dict) else []
             emit(url, t, lang, i + 1, len(pages), json.dumps(runs, sort_keys=True))
