@@ -26,10 +26,59 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """Embedding column -> (n, dim) float32, zero-copy where possible.
+
+    ``to_pylist()`` here built millions of Python floats per batch and
+    made the ANN paths LOSE to brute force at sf0.1 (round-1 verdict
+    #3).  Embeddings are fixed-length, so the list column's flat values
+    buffer reshapes directly: fixed_size_list -> ``.values``; list /
+    large_list -> ``.values`` sliced by the offsets window (equal widths
+    verified).  Ragged input falls back to the slow path."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(arr), t.list_size)
+        return mat.astype(np.float32, copy=False)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) == 0:
+            return np.empty((0, 0), dtype=np.float32)
+        if (widths == widths[0]).all():
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            mat = flat[offsets[0]: offsets[-1]].reshape(len(arr), int(widths[0]))
+            return mat.astype(np.float32, copy=False)
     return np.asarray(arr.to_pylist(), dtype=np.float32)
+
+
+def _col_numpy(batch: pa.Table, col: str, dtype) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
+def _topk_rows(scores: np.ndarray, keys: np.ndarray, qids: np.ndarray, k: int) -> pa.Table:
+    """(n_q, n_vec) score block -> flat per-query top-k rows, no Python
+    loop over entries: argpartition + take_along_axis."""
+    kk = min(k, scores.shape[1])
+    if kk == 0 or scores.shape[0] == 0:
+        return pa.table({"query_id": pa.array([], pa.int32()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    idx = np.argpartition(-scores, kth=kk - 1, axis=1)[:, :kk]
+    return pa.table(
+        {
+            "query_id": pa.array(np.repeat(qids.astype(np.int32), kk)),
+            "vec_id": pa.array(keys[idx.ravel()].astype(np.int64)),
+            "score": pa.array(
+                np.take_along_axis(scores, idx, axis=1).ravel().astype(np.float64)
+            ),
+        }
+    )
 
 
 class BruteForceScorer:
@@ -45,23 +94,33 @@ class BruteForceScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _normalize(_batch_matrix(batch, self.vec_col))
-        keys = np.asarray(batch[self.key_col].to_pylist(), dtype=np.int64)
+        keys = _col_numpy(batch, self.key_col, np.int64)
         scores = self.queries @ mat.T  # (n_queries, batch)
-        k = min(self.k, mat.shape[0])
-        idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
-        qid_out, key_out, score_out = [], [], []
-        for q in range(scores.shape[0]):
-            for j in idx[q]:
-                qid_out.append(q)
-                key_out.append(int(keys[j]))
-                score_out.append(float(scores[q, j]))
-        return pa.table(
-            {
-                "query_id": pa.array(qid_out, pa.int32()),
-                "vec_id": pa.array(key_out, pa.int64()),
-                "score": pa.array(score_out, pa.float64()),
-            }
-        )
+        return _topk_rows(scores, keys, np.arange(scores.shape[0]), self.k)
+
+
+def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["score", "vec_id"], ascending=[False, True])
+    return df.groupby("query_id", sort=False).head(k)
+
+
+def _finalize_topk(partials, k: int) -> pd.DataFrame:
+    """Per-block top-k partials -> global top-k, WITHOUT an all-to-all.
+
+    Each scorer batch emits <= n_queries * k rows, so a large-batch
+    map_batches tree-combine collapses the partial set before a tiny
+    driver-side final merge — replacing the round-1
+    ``groupby(query_id).map_groups`` whose hash shuffle dominated
+    wall-time at small corpus sizes and is pointless for a result
+    bounded by n_queries * k."""
+    combined = partials.map_batches(
+        _merge_topk, fn_kwargs={"k": k}, batch_format="pandas", batch_size=65536
+    )
+    df = combined.to_pandas()
+    df = df.drop_duplicates(subset=["query_id", "vec_id"])
+    df = _merge_topk(df, k)
+    return df.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
 
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *,
@@ -77,14 +136,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *,
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
         num_cpus=num_cpus,
     )
-
-    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-
-    out = partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
-    df = out.to_pandas()
-    return df.sort_values(["query_id", "score", "vec_id"],
-                          ascending=[True, False, True]).reset_index(drop=True)
+    return _finalize_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -142,19 +194,14 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, n_bits: int = 12,
     Partitioning assumption: bucket sizes are ~n/2^n_bits; skewed buckets
     (degenerate embeddings) degrade to brute force within the bucket.
 
-    ``num_cpus`` defaults to 0.5 because the plan chains TWO actor pools
-    (bucketer -> prober) plus read/sort task pools; full-CPU actors at
-    ``concurrency`` x 2 can reserve every core and starve the task pools
-    into a scheduling deadlock on small machines.
+    Bucket assignment is FOLDED into the scorer actor (one actor-pool
+    pass, one embedding decode) — the round-1 two-pool chain
+    (bucketer -> prober) decoded every embedding twice and paid an
+    extra pipeline stage, which is why LSH lost to brute force at
+    sf0.1.
     """
     queries = _normalize(np.asarray(queries, dtype=np.float32))
     planes = hyperplanes(queries.shape[1], n_bits, seed)
-    planes_ref = ray.put(planes)
-    bucketed = ds.map_batches(
-        LshBucketer, fn_constructor_kwargs={"planes_ref": planes_ref, "vec_col": vec_col},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
-        num_cpus=num_cpus,
-    )
     q_buckets = lsh_bucket_ids(queries, planes)
     masks = _probe_masks(n_bits, probe_bits)
     probe: dict[int, list[int]] = {}
@@ -163,53 +210,36 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, n_bits: int = 12,
         for w in wanted:
             probe.setdefault(w, []).append(qid)
 
+    planes_ref = ray.put(planes)
     queries_ref = ray.put(queries)
     probe_ref = ray.put(probe)
 
     class ProbeScorer:
         def __init__(self):
+            self.planes = ray.get(planes_ref)
             self.queries = ray.get(queries_ref)
             self.probe = ray.get(probe_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_batch_matrix(batch, vec_col))
-            keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)
-            buckets = np.asarray(batch["lsh_bucket"].to_pylist(), dtype=np.int64)
-            qid_out, key_out, score_out = [], [], []
+            keys = _col_numpy(batch, key_col, np.int64)
+            buckets = lsh_bucket_ids(mat, self.planes)
+            parts = []
             for bucket in np.unique(buckets):
                 qids = self.probe.get(int(bucket))
                 if not qids:
                     continue
                 mask = buckets == bucket
-                sub = mat[mask]
-                sub_keys = keys[mask]
-                scores = self.queries[qids] @ sub.T
-                kk = min(k, sub.shape[0])
-                idx = np.argpartition(-scores, kth=kk - 1, axis=1)[:, :kk]
-                for row, qid in enumerate(qids):
-                    for j in idx[row]:
-                        qid_out.append(qid)
-                        key_out.append(int(sub_keys[j]))
-                        score_out.append(float(scores[row, j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(qid_out, pa.int32()),
-                    "vec_id": pa.array(key_out, pa.int64()),
-                    "score": pa.array(score_out, pa.float64()),
-                }
-            )
+                scores = self.queries[qids] @ mat[mask].T
+                parts.append(_topk_rows(scores, keys[mask], np.asarray(qids), k))
+            if not parts:
+                return _topk_rows(np.empty((0, 0)), keys[:0], np.empty(0, np.int64), k)
+            return pa.concat_tables(parts)
 
-    partials = bucketed.map_batches(ProbeScorer, batch_format="pyarrow",
-                                    concurrency=concurrency, num_cpus=num_cpus)
-
-    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["vec_id"])
-        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-
-    out = partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
-    df = out.to_pandas()
-    return df.sort_values(["query_id", "score", "vec_id"],
-                          ascending=[True, False, True]).reset_index(drop=True)
+    partials = ds.map_batches(ProbeScorer, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=concurrency, num_cpus=num_cpus)
+    return _finalize_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -283,64 +313,44 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, n_lists: int = 16,
         if len(train_sample) == 0:
             train_sample = queries
     cents = train_centroids(train_sample, n_lists, seed=seed)
-    cents_ref = ray.put(cents)
-    assigned = ds.map_batches(
-        IvfAssigner, fn_constructor_kwargs={"cents_ref": cents_ref, "vec_col": vec_col},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
-        num_cpus=num_cpus,
-    )
     n_probe = min(n_probe, len(cents))
     q_lists = np.argsort(-(queries @ cents.T), axis=1)[:, :n_probe]
     probe: dict[int, list[int]] = {}
     for qid, lists in enumerate(q_lists):
         for li in lists:
             probe.setdefault(int(li), []).append(qid)
+    # list assignment folded into the scorer actor: one actor-pool pass,
+    # one embedding decode (same rationale as lsh_topk)
+    cents_ref = ray.put(cents)
     queries_ref = ray.put(queries)
     probe_ref = ray.put(probe)
 
     class ListScorer:
         def __init__(self):
+            self.cents = ray.get(cents_ref)
             self.queries = ray.get(queries_ref)
             self.probe = ray.get(probe_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_batch_matrix(batch, vec_col))
-            keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)
-            lists = np.asarray(batch["ivf_list"].to_pylist(), dtype=np.int32)
-            qid_out, key_out, score_out = [], [], []
+            keys = _col_numpy(batch, key_col, np.int64)
+            lists = np.argmax(mat @ self.cents.T, axis=1).astype(np.int32)
+            parts = []
             for li in np.unique(lists):
                 qids = self.probe.get(int(li))
                 if not qids:
                     continue
                 mask = lists == li
-                sub, sub_keys = mat[mask], keys[mask]
-                scores = self.queries[qids] @ sub.T
-                kk = min(k, sub.shape[0])
-                idx = np.argpartition(-scores, kth=kk - 1, axis=1)[:, :kk]
-                for row, qid in enumerate(qids):
-                    for j in idx[row]:
-                        qid_out.append(qid)
-                        key_out.append(int(sub_keys[j]))
-                        score_out.append(float(scores[row, j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(qid_out, pa.int32()),
-                    "vec_id": pa.array(key_out, pa.int64()),
-                    "score": pa.array(score_out, pa.float64()),
-                }
-            )
+                scores = self.queries[qids] @ mat[mask].T
+                parts.append(_topk_rows(scores, keys[mask], np.asarray(qids), k))
+            if not parts:
+                return _topk_rows(np.empty((0, 0)), keys[:0], np.empty(0, np.int64), k)
+            return pa.concat_tables(parts)
 
-    partials = assigned.map_batches(ListScorer, batch_format="pyarrow",
-                                    concurrency=concurrency, num_cpus=num_cpus)
-
-    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["vec_id"])
-        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-
-    out = partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
-    df = out.to_pandas()
-    return df.sort_values(["query_id", "score", "vec_id"],
-                          ascending=[True, False, True]).reset_index(drop=True)
+    partials = ds.map_batches(ListScorer, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=concurrency, num_cpus=num_cpus)
+    return _finalize_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
