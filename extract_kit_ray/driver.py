@@ -727,17 +727,42 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     return _remap_query_ids(out, qids)
 
 
-def q_lsh_topk(sf_dir: str) -> pd.DataFrame:
+def _recall_vs_exact(sf_dir: str, approx: pd.DataFrame, min_hits: int) -> pd.DataFrame:
+    """(query_id, recall_ok) rows: |approx ∩ exact| >= min_hits per query.
+
+    The exact side is the engine's own brute_force_topk — itself
+    value-checked against DuckDB (``ann_topk``), so the recall invariant
+    composes into a SQL-checkable boolean: the oracle states every query
+    must clear the bar (SELECT ..., TRUE AS recall_ok)."""
+    exact = q_ann_topk(sf_dir)
+    ex = {int(q): set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+    rows = []
+    for q in sorted(ex):
+        got = set(approx.loc[approx["query_id"] == q, "vec_id"])
+        rows.append({"query_id": q, "recall_ok": len(got & ex[q]) >= min_hits})
+    return pd.DataFrame(rows)
+
+
+def q_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """LSH ANN recall invariant: recall@10 >= 0.9 per query vs exact.
+
+    The driver corpus is isotropic-random (measured same-label vs
+    diff-label cosine are indistinguishable) — the ANN-adversarial
+    worst case, where high recall requires probing most buckets; hence
+    probe_bits=3 on n_bits=4 (15/16 buckets).  On clustered corpora the
+    same operator reaches this recall at a small probe fraction."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries, qids = _query_matrix(sf_dir)
-    out = lsh_topk(ds, queries, k=_TOPK, n_bits=4, concurrency=_pool()["concurrency"])
-    return _remap_query_ids(out, qids)
+    out = lsh_topk(ds, queries, k=_TOPK, n_bits=4, probe_bits=3,
+                   concurrency=_pool()["concurrency"])
+    return _recall_vs_exact(sf_dir, _remap_query_ids(out, qids), min_hits=9)
 
 
-def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
-    """IVF (inverted-file) ANN — centroid-partitioned scale path.  The
-    training sample here is the whole (small) table; at corpus scale it
-    is a bounded ``ds.random_sample`` readout."""
+def q_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN recall invariant: recall@10 >= 0.8 per query vs exact
+    (n_probe=10 of 16 lists; same ANN-adversarial caveat as
+    q_lsh_recall — random vectors spread true neighbors uniformly over
+    centroids, so a 0.9 bar needs a near-full scan)."""
     from .ops.similarity import ivf_topk
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -745,17 +770,37 @@ def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         ["embedding"].to_pylist(), dtype=np.float32)
     queries, qids = _query_matrix(sf_dir)
-    out = ivf_topk(ds, queries, k=_TOPK, n_lists=16, n_probe=4,
+    out = ivf_topk(ds, queries, k=_TOPK, n_lists=16, n_probe=10,
                    train_sample=sample, concurrency=_pool()["concurrency"])
-    return _remap_query_ids(out, qids)
+    return _recall_vs_exact(sf_dir, _remap_query_ids(out, qids), min_hits=8)
+
+
+_PLANT_OFFSET = 10_000_000
+
+
+def _plant_vec_copies(batch: pa.Table) -> pa.Table:
+    """Append exact copies of every vec_id % 20 == 0 row under
+    vec_id + _PLANT_OFFSET (cosine exactly 1.0 with the source)."""
+    ids = batch["vec_id"].to_numpy()
+    sel = batch.filter(pa.array(ids % 20 == 0))
+    planted = sel.set_column(
+        sel.schema.get_field_index("vec_id"), "vec_id",
+        pc.add(sel["vec_id"], _PLANT_OFFSET),
+    )
+    return pa.concat_tables([batch, planted])
 
 
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
-    """Driver embeddings are random (no true near-dups at cosine 0.9+);
-    the 0.35 threshold here exercises the bucketed pair-emission path on
-    real data — production threshold stays ~0.95."""
+    """Embedding near-dup detection with PLANTED duplicates: exact
+    copies of every 20th vector are appended under shifted ids, and the
+    0.99-cosine threshold must recover exactly the planted pairs (the
+    organic max pairwise cosine of the random corpus is ~0.5).  Exact
+    copies share their source's LSH bucket deterministically, so the
+    planted-pair oracle is exact SQL."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(ds, threshold=0.35, n_bits=4,
+    augmented = ds.map_batches(_plant_vec_copies, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return embedding_near_dups(augmented, threshold=0.99, n_bits=4,
                                concurrency=_pool()["concurrency"])[
         ["key_a", "key_b"]
     ]
@@ -788,21 +833,57 @@ def q_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["doc_id", "fingerprint", "text_hash", "simhash"])
 
 
-def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+_PLANT_MIN_WORDS = 40
+
+
+def _plant_near_dups(batch: pa.Table) -> pa.Table:
+    """Append a near-duplicate (one word appended) of every 10th doc
+    with >= _PLANT_MIN_WORDS words, under doc_id + _PLANT_OFFSET.
+
+    The word floor keeps shingle-set Jaccard >= (W-2)/(W-1) ~ 0.974, so
+    the 64-perm signature estimate clears the 0.8 threshold with
+    per-doc failure probability ~1e-6 — and the fixed seed makes the
+    outcome deterministic, so the planted-pair oracle is exact."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    p_ids, p_texts = [], []
+    for i, t in zip(ids, texts):
+        t = t or ""
+        if i % 10 == 0 and len(t.split()) >= _PLANT_MIN_WORDS:
+            p_ids.append(i + _PLANT_OFFSET)
+            p_texts.append(t + " planteddup")
+    planted = pa.table({"doc_id": pa.array(p_ids, pa.int64()),
+                        "text": pa.array(p_texts, pa.string())})
+    return pa.concat_tables([batch.select(["doc_id", "text"]), planted])
+
+
+def _planted_docs(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(ds, threshold=0.8, concurrency=_pool()["concurrency"])
+    return ds.map_batches(_plant_near_dups, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup dedup over a corpus with PLANTED near
+    duplicates: every planted copy must cluster with its source
+    (is_dup=True, keep-min representative), and no organic pair in the
+    synthetic corpus reaches 0.8 Jaccard — so the full (doc_id, is_dup)
+    table is SQL-reconstructable."""
+    out = minhash_lsh_dedup(_planted_docs(sf_dir), threshold=0.8,
+                            concurrency=_pool()["concurrency"])
+    return out[["doc_id", "is_dup"]]
 
 
 def q_minhash_dedup_distributed(sf_dir: str) -> pd.DataFrame:
     """Corpus-scale near-dup path: join-verified candidates +
     distributed min-label propagation (no driver-side signature map or
-    union-find)."""
+    union-find).  Same planted-pair oracle as q_minhash_dedup."""
     from .ops.dedup import minhash_lsh_dedup_distributed
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_dedup_distributed(ds, threshold=0.8,
-                                         concurrency=_pool()["concurrency"],
-                                         num_partitions=4)
+    out = minhash_lsh_dedup_distributed(_planted_docs(sf_dir), threshold=0.8,
+                                        concurrency=_pool()["concurrency"],
+                                        num_partitions=4)
+    return out[["doc_id", "is_dup"]]
 
 
 def q_segment_sales(sf_dir: str) -> "ray.data.Dataset":
@@ -968,8 +1049,8 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "distinct_lang_source": q_distinct_lang_source,
     "ann_topk": q_ann_topk,
-    "lsh_topk": q_lsh_topk,
-    "ivf_topk": q_ivf_topk,
+    "lsh_recall": q_lsh_recall,
+    "ivf_recall": q_ivf_recall,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id": q_lang_id,
     "quality_signals": q_quality_signals,
@@ -1136,4 +1217,147 @@ ORACLE_SQL = {
         "QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY "
         f"list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= {_TOPK}"
     ),
+    # recall invariants: the oracle asserts every query clears the bar;
+    # the engine side computes |approx ∩ exact| with its own (ann_topk-
+    # verified) exact scorer, so a recall regression flips the hash
+    "lsh_recall": (
+        "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
+        f"ORDER BY vec_id LIMIT {_N_QUERIES}"
+    ),
+    "ivf_recall": (
+        "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
+        f"ORDER BY vec_id LIMIT {_N_QUERIES}"
+    ),
+    "embedding_near_dups": (
+        f"SELECT vec_id AS key_a, vec_id + {_PLANT_OFFSET} AS key_b "
+        "FROM embeddings WHERE vec_id % 20 = 0"
+    ),
 }
+
+# The minhash oracle is EXACT: augmented corpus (originals + planted
+# copies), all-pairs word-3-gram Jaccard >= 0.8 via a shared-shingle
+# candidate join, transitive closure by recursive CTE, min-label rep.
+# It reproduces the engine's cluster assignments because the engine's
+# arbiter is the same exact Jaccard (LSH only generates candidates; a
+# true pair escaping all 16 bands has p <= (1-0.8^4)^16 ~ 2e-4 at
+# J=0.8 and ~3e-12 at the corpus' observed J>=0.95 — and the fixed
+# seed makes the outcome deterministic either way).
+_MINHASH_ORACLE = f"""
+WITH RECURSIVE
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET}, text || ' planteddup' FROM documents
+  WHERE doc_id % 10 = 0 AND len(list_filter(regexp_split_to_array(text, '\\s+'),
+    x -> x <> '')) >= {_PLANT_MIN_WORDS}
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN []
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws) - 2),
+              i -> array_to_string(ws[i:i+2], ' '))) END AS sh
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+        x -> x <> '') AS ws FROM aug)
+),
+u AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+         FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT ka, kb FROM cand
+  JOIN sh sa ON sa.doc_id = ka JOIN sh sb ON sb.doc_id = kb
+  WHERE len(list_intersect(sa.sh, sb.sh)) >=
+        0.8 * (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+),
+bidir AS (SELECT ka AS a, kb AS b FROM edges UNION ALL SELECT kb, ka FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) < a AS is_dup FROM reach GROUP BY a
+"""
+
+ORACLE_SQL["minhash_dedup"] = _MINHASH_ORACLE
+ORACLE_SQL["minhash_dedup_distributed"] = _MINHASH_ORACLE
+
+
+def _sql_strlist(words) -> str:
+    """Deterministic SQL list literal for a stopword set."""
+    return "[" + ",".join("'" + w.replace("'", "''") + "'" for w in sorted(words)) + "]"
+
+
+def _lang_id_oracle() -> str:
+    """Full-value oracle for the stopword-argmax language heuristic:
+    per-language stopword coverage over lowercase letter-runs, argmax
+    with sorted-lang tie-break, 'unknown' below 3 words or 8% coverage.
+    Scores are count/n double divisions — identical operands on both
+    engines, so the floats hash-match exactly."""
+    from .functions.textstats import _LANG_STOPWORDS
+
+    langs = sorted(_LANG_STOPWORDS)  # ['de', 'en', 'es', 'fr']
+    scores = ", ".join(
+        "CASE WHEN nw = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> "
+        f"list_contains({_sql_strlist(_LANG_STOPWORDS[lang])}, x))) AS DOUBLE)"
+        f" / nw END AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # first maximal language in sorted order wins (mirrors the Python
+    # strictly-greater scan over sorted langs)
+    pick = ""
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:])
+        pick += f"WHEN {conds} THEN '{lang}' "
+    pick += f"ELSE '{langs[-1]}'"
+    return (
+        "WITH w AS (SELECT doc_id, list_transform("
+        "regexp_extract_all(text, '\\p{L}+'), x -> lower(x)) AS ws FROM documents), "
+        f"s AS (SELECT doc_id, len(ws) AS nw, {scores} FROM w) "
+        "SELECT doc_id, "
+        "CASE WHEN nw < 3 THEN 'unknown' "
+        f"WHEN {best} < 0.08 THEN 'unknown' "
+        f"{pick} END AS pred_lang, "
+        f"CASE WHEN nw < 3 THEN 0.0 ELSE {best} END AS lang_confidence "
+        "FROM s"
+    )
+
+
+def _quality_oracle() -> str:
+    """Full-value oracle for the Gopher/C4-family quality signals the
+    ``quality_signals`` query projects: word count, English stopword
+    ratio (punct-stripped lowercase words), duplicate-line ratio, and
+    the composite score.  Every float derives from int/int divisions
+    and the same double constants, so values hash-match exactly."""
+    from .functions.textstats import _LANG_STOPWORDS, _PUNCT
+
+    en = _sql_strlist(_LANG_STOPWORDS["en"])
+    punct = "".join(sorted(_PUNCT)).replace("'", "''")
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws, "
+        "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
+        "x -> x <> '') AS ls FROM documents), "
+        "s AS (SELECT doc_id, len(ws) AS nw, "
+        "CASE WHEN len(ws)=0 THEN 0.0 ELSE "
+        "CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)/len(ws) END AS mwl, "
+        "CASE WHEN len(ws)=0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(list_transform(ws, x -> trim(lower(x), '{punct}')), "
+        f"x -> list_contains({en}, x))) AS DOUBLE)/len(ws) END AS stop_r, "
+        "CASE WHEN len(ls)=0 THEN 0.0 ELSE "
+        "1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)/len(ls) END AS dup_r "
+        "FROM w) "
+        "SELECT doc_id, CAST(nw AS DOUBLE) AS q_n_words, "
+        "stop_r AS q_stopword_ratio, "
+        "CASE WHEN nw=0 THEN 0.0 ELSE dup_r END AS q_dup_line_ratio, "
+        "CASE WHEN nw=0 THEN 0.0 ELSE "
+        "least(1.0, nw/50.0)*0.3 "
+        "+ (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)*0.2 "
+        "+ least(1.0, stop_r/0.2)*0.3 "
+        "+ (1.0 - dup_r)*0.2 END AS q_quality_score "
+        "FROM s"
+    )
+
+
+ORACLE_SQL["lang_id"] = _lang_id_oracle()
+ORACLE_SQL["quality_signals"] = _quality_oracle()

@@ -339,7 +339,14 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
                       concurrency=4) -> pd.DataFrame:
     """Full near-dup pipeline. Returns a pandas frame
     (key, cluster_rep, is_dup) for ALL input keys — materialized because
-    cluster assignments are the (small) result, not the corpus."""
+    cluster assignments are the (small) result, not the corpus.
+
+    Verification is two-stage: a signature-estimated Jaccard prefilter
+    at (threshold - 0.2) — which keeps a true >=threshold pair with
+    probability ~1 - 3e-8 per pair at n_perm=64 — then EXACT word
+    3-gram Jaccard of the candidate texts as the arbiter.  The exact
+    final check makes cluster assignments reproducible by a SQL oracle
+    (no signature noise at the threshold boundary)."""
     pairs_ds, sigs_ds = minhash_lsh_candidates(
         ds, text_col=text_col, key_col=key_col, n_perm=n_perm,
         n_bands=n_bands, concurrency=concurrency,
@@ -350,12 +357,23 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
         int(k): np.array(s, dtype=np.int64) for k, s in
         zip(sig_rows[key_col], sig_rows["minhash"])
     }
-    # verify candidates by signature-estimated Jaccard
+    cand = [
+        (int(ka), int(kb)) for ka, kb in
+        zip(pairs.get("key_a", []), pairs.get("key_b", []))
+        if estimated_jaccard(sig_by_key[int(ka)], sig_by_key[int(kb)])
+        >= threshold - 0.2
+    ]
     keep = []
-    for ka, kb in zip(pairs.get("key_a", []), pairs.get("key_b", [])):
-        ka, kb = int(ka), int(kb)
-        if estimated_jaccard(sig_by_key[ka], sig_by_key[kb]) >= threshold:
-            keep.append((ka, kb))
+    if cand:
+        cand_keys = {k for p in cand for k in p}
+        texts_df = ds.select_columns([key_col, text_col]).to_pandas()
+        texts_by_key = {
+            int(k): (t or "") for k, t in
+            zip(texts_df[key_col], texts_df[text_col]) if int(k) in cand_keys
+        }
+        for ka, kb in cand:
+            if ngram_jaccard(texts_by_key[ka], texts_by_key[kb]) >= threshold:
+                keep.append((ka, kb))
     # union-find over verified pairs (bounded by duplicate volume)
     parent: dict[int, int] = {}
 
@@ -384,10 +402,11 @@ def minhash_lsh_dedup_distributed(
     concurrency=4, num_partitions: int = 8,
 ) -> pd.DataFrame:
     """Corpus-scale variant of :func:`minhash_lsh_dedup`: candidate
-    verification happens via hash joins of the signature table onto both
-    pair endpoints (no driver-side signature map), and clustering is
-    distributed min-label propagation (ops/components.py) instead of
-    driver union-find.  Semantics identical; only the label table is
+    verification happens via hash joins of the signature and text
+    tables onto the pair endpoints (no driver-side maps), and
+    clustering is distributed min-label propagation
+    (ops/components.py) instead of driver union-find.  Semantics
+    identical (same exact-Jaccard arbiter); only the label table is
     collected at the end (one row per key).
     """
     from .components import connected_components
@@ -405,9 +424,11 @@ def minhash_lsh_dedup_distributed(
 
     pairs_ds = pairs_ds.map_batches(dedupe_pairs, batch_format="pyarrow")
 
-    # verify: join signatures onto both endpoints, estimate Jaccard per
-    # row.  Arrow hash joins reject list-typed payload columns, so the
-    # signature rides along as a packed int64-LE binary blob.
+    # stage 1 prefilter: join packed signatures onto both endpoints,
+    # keep pairs with estimated Jaccard >= threshold - 0.2 (keeps true
+    # pairs w.p. ~1 - 3e-8 each at n_perm=64).  Arrow hash joins reject
+    # list-typed payload columns, so the signature rides along as a
+    # packed int64-LE binary blob.
     def _packed(b: pa.Table, key_out: str, sig_out: str) -> pa.Table:
         import numpy as _np
 
@@ -430,7 +451,7 @@ def minhash_lsh_dedup_distributed(
         on=("key_b",), right_on=("key_b_j",),
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def prefilter(batch: pa.Table) -> pa.Table:
         import numpy as _np
 
         ka = batch["key_a"].to_pylist()
@@ -441,13 +462,48 @@ def minhash_lsh_dedup_distributed(
         for a, b, x, y in zip(ka, kb, sa, sb):
             xs = _np.frombuffer(x, dtype=_np.int64)
             ys = _np.frombuffer(y, dtype=_np.int64)
-            if float(_np.mean(xs == ys)) >= threshold:
+            if float(_np.mean(xs == ys)) >= threshold - 0.2:
                 keep_a.append(a)
                 keep_b.append(b)
         return pa.table({"key_a": pa.array(keep_a, pa.int64()),
                          "key_b": pa.array(keep_b, pa.int64())})
 
-    verified = joined.map_batches(verify, batch_format="pyarrow")
+    candidates = joined.map_batches(prefilter, batch_format="pyarrow")
+
+    # stage 2 arbiter: join texts onto both endpoints (text volume is
+    # bounded by candidate count, not corpus), exact word-3-gram
+    # Jaccard >= threshold — matching the driver variant and the SQL
+    # oracle exactly.
+    def _keyed_text(b: pa.Table, key_out: str, text_out: str) -> pa.Table:
+        return pa.table({key_out: b[key_col], text_out: b[text_col]})
+
+    text_a = ds.map_batches(
+        _keyed_text, fn_kwargs={"key_out": "key_a_t", "text_out": "text_a"},
+        batch_format="pyarrow", zero_copy_batch=True)
+    text_b = ds.map_batches(
+        _keyed_text, fn_kwargs={"key_out": "key_b_t", "text_out": "text_b"},
+        batch_format="pyarrow", zero_copy_batch=True)
+    with_texts = candidates.join(
+        text_a, join_type="inner", num_partitions=num_partitions,
+        on=("key_a",), right_on=("key_a_t",),
+    ).join(
+        text_b, join_type="inner", num_partitions=num_partitions,
+        on=("key_b",), right_on=("key_b_t",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep_a, keep_b = [], []
+        for a, b, ta, tb in zip(batch["key_a"].to_pylist(),
+                                batch["key_b"].to_pylist(),
+                                batch["text_a"].to_pylist(),
+                                batch["text_b"].to_pylist()):
+            if ngram_jaccard(ta or "", tb or "") >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.table({"key_a": pa.array(keep_a, pa.int64()),
+                         "key_b": pa.array(keep_b, pa.int64())})
+
+    verified = with_texts.map_batches(verify, batch_format="pyarrow")
     labels = connected_components(
         verified, sigs_ds, key_col=key_col, num_partitions=num_partitions
     )
