@@ -271,6 +271,65 @@ def q_layout_fanout_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _wrap_docs_as_pdf(batch: pa.Table) -> pa.Table:
+    """documents rows -> REAL binary PDFs (40 words/page, one Tj run per
+    word, same geometry as the ek-layout wrap) — even doc_ids get
+    FlateDecode-compressed content streams, odd ones raw, so both
+    decode paths carry the byte-identity oracle."""
+    from .functions.pdf_text import make_pdf
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    urls = [f"https://docs.example/{i}.pdf" for i in ids]
+    ts = [_DOC_EPOCH_US + int(i) for i in ids]
+    payloads = []
+    for i, t in zip(ids, texts):
+        words = (t or "").split()
+        pages = []
+        for s in range(0, max(len(words), 1), _LAYOUT_WORDS_PER_PAGE):
+            chunk = words[s : s + _LAYOUT_WORDS_PER_PAGE]
+            pages.append(
+                [(w, 72.0 + 40.0 * j, 720.0) for j, w in enumerate(chunk)]
+            )
+        payloads.append(make_pdf(pages, compress=(int(i) % 2 == 0)))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": pa.array(["unknown"] * len(ids), pa.string()),
+        }
+    )
+
+
+def q_extract_pdf_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """REAL-PDF byte-identity roundtrip: documents wrapped as binary
+    PDFs (catalog/page tree/Flate streams/Tj runs), parsed by the
+    engine's own PDF parser through the skew-defusing page fan-out, and
+    checked against the same whitespace-exact SQL oracle as the
+    ek-layout roundtrip."""
+    from .stages.pdf_stage import extract_layout_fanout
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pages = ds.map_batches(_wrap_docs_as_pdf, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = extract_layout_fanout(pages)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1].split(".")[0]) for u in batch["url"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pc.cast(batch["text"], pa.string()),
+                "n_pages": pc.cast(batch["n_pages"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # dedup / text analysis over documents
 # ---------------------------------------------------------------------------
@@ -1031,6 +1090,7 @@ QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
     "layout_fanout_roundtrip": q_layout_fanout_roundtrip,
+    "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "exact_dedup_docs": q_exact_dedup_docs,
     "unique_docs": q_unique_docs,
     "token_counts": q_token_counts,
@@ -1079,6 +1139,21 @@ ORACLE_SQL = {
     # engine's max(len(words), 1) wrap — round-1 advisor flagged the
     # fixed 3-page reconstruction as silently input-bounded
     "layout_fanout_roundtrip": (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '') AS ws FROM documents), "
+        "p AS (SELECT doc_id, ws, "
+        f"greatest(CAST(ceil(len(ws) / {_LAYOUT_WORDS_PER_PAGE}.0) AS BIGINT), 1) "
+        "AS np FROM w) "
+        "SELECT doc_id, "
+        "array_to_string(list_transform(generate_series(1, np), i -> "
+        f"array_to_string(ws[(i-1)*{_LAYOUT_WORDS_PER_PAGE}+1 : "
+        f"i*{_LAYOUT_WORDS_PER_PAGE}], ' ')), chr(10) || chr(10)) AS text, "
+        "np AS n_pages "
+        "FROM p"
+    ),
+    # the real-PDF wrap uses the same 40-words/page geometry, so the
+    # oracle is identical to the ek-layout roundtrip
+    "extract_pdf_roundtrip": (
         "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
         "x -> x <> '') AS ws FROM documents), "
         "p AS (SELECT doc_id, ws, "

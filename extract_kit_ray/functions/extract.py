@@ -29,7 +29,7 @@ from .markdown import (
     _render_element,
     _Ctx,
 )
-from .pdf_layout import assemble_document, parse_pages
+from .pdf_layout import assemble_document, assemble_page_text, parse_pages
 
 _WS_RUNS = re.compile(r"\n{3,}")
 
@@ -212,11 +212,27 @@ def extract_document(payload: bytes, url: str = "", *, strip_boilerplate: bool =
             )
 
         if kind == detect.KIND_PDF:
-            # real-PDF decoding needs binary codec libs not present in this
-            # environment; route as failure-as-data (SURVEY.md S3 note)
+            # real binary PDF parse (functions/pdf_text.py): page tree ->
+            # content streams (raw/Flate) -> Tj/TJ text runs -> the same
+            # x/y line merge as ek-layout (file-processor.ts:52-57 role)
+            from .pdf_text import pdf_to_layout_pages
+
+            try:
+                layout_pages = pdf_to_layout_pages(payload)
+            except (ValueError, UnicodeDecodeError) as exc:
+                return _result(
+                    kind, valid=False, errors=[f"pdf parse failed: {exc}"],
+                    n_bytes_in=n_in, parse_ms=(time.perf_counter() - t0) * 1e3,
+                )
+            pairs = [
+                (i + 1, assemble_page_text(p.get("runs", [])))
+                for i, p in enumerate(layout_pages)
+            ]
+            text, offsets = assemble_document(pairs)
+            spans = [Span(start, end, "paragraph") for (_no, start, end) in offsets if end > start]
             return _result(
-                kind, valid=False, n_bytes_in=n_in,
-                errors=["binary PDF decoding not supported; supply ek-layout payloads"],
+                kind, text=text, spans=spans, n_pages=len(pairs),
+                n_bytes_in=n_in, parse_ms=(time.perf_counter() - t0) * 1e3,
             )
 
         return _result(kind, valid=False, errors=[f"unsupported payload kind: {kind}"], n_bytes_in=n_in)

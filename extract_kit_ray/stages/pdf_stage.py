@@ -34,9 +34,12 @@ PAGE_ROW_SCHEMA = pa.schema(
 
 
 def fanout_layout_batch(batch: pa.Table) -> pa.Table:
-    """pages batch -> page rows (1 doc -> N rows). Non-layout payloads and
-    malformed layouts fan out to a single error-marked page row
+    """pages batch -> page rows (1 doc -> N rows). Handles ek-layout
+    JSON AND real binary PDFs (functions/pdf_text.py); other payloads
+    and malformed documents fan out to a single error-marked page row
     (page_no=-1) so failure stays data."""
+    from ..functions.pdf_text import pdf_to_layout_pages
+
     urls = batch["url"].to_pylist()
     ts = batch["warc_ts"].to_pylist()
     langs = batch["lang"].to_pylist()
@@ -53,7 +56,19 @@ def fanout_layout_batch(batch: pa.Table) -> pa.Table:
 
     for url, t, lang, payload in zip(urls, ts, langs, payloads):
         payload = payload or b""
-        if detect.detect_doc_kind(payload) != detect.KIND_LAYOUT:
+        kind = detect.detect_doc_kind(payload)
+        if kind == detect.KIND_PDF:
+            try:
+                pages = pdf_to_layout_pages(payload)
+            except (ValueError, UnicodeDecodeError):
+                emit(url, t, lang, -1, 0, "")
+                continue
+            for i, page in enumerate(pages):
+                runs = page.get("runs", []) if isinstance(page, dict) else []
+                emit(url, t, lang, i + 1, len(pages),
+                     json.dumps(runs, sort_keys=True))
+            continue
+        if kind != detect.KIND_LAYOUT:
             emit(url, t, lang, -1, 0, "")
             continue
         try:

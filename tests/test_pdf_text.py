@@ -1,0 +1,163 @@
+"""Unit tests for the real-PDF text parser (functions/pdf_text.py):
+writer/parser roundtrips, operator coverage, totality on malformed
+input, and the extract_document / fan-out integration."""
+
+import json
+import zlib
+
+import pytest
+
+from extract_kit_ray.functions.extract import extract_document
+from extract_kit_ray.functions.pdf_layout import assemble_page_text
+from extract_kit_ray.functions.pdf_text import (
+    extract_runs,
+    make_pdf,
+    pdf_to_layout_pages,
+)
+
+
+def _texts(payload: bytes) -> list[str]:
+    return [assemble_page_text(p["runs"]) for p in pdf_to_layout_pages(payload)]
+
+
+def test_roundtrip_raw_and_flate():
+    pages = [
+        [("Hello", 72.0, 720.0), ("world", 112.0, 720.0), ("second line", 72.0, 700.0)],
+        [("Page", 72.0, 720.0), ("two", 112.0, 720.0)],
+    ]
+    for compress in (False, True):
+        assert _texts(make_pdf(pages, compress=compress)) == [
+            "Hello world\nsecond line",
+            "Page two",
+        ]
+
+
+def test_roundtrip_escapes_and_unicode():
+    pdf = make_pdf([[("paren (x) \\ yes", 72.0, 720.0), ("héllo wörld", 72.0, 700.0)]])
+    assert _texts(pdf) == ["paren (x) \\ yes\nhéllo wörld"]
+
+
+def test_page_order_follows_page_tree():
+    pdf = make_pdf([[("first", 72.0, 720.0)], [("second", 72.0, 720.0)],
+                    [("third", 72.0, 720.0)]])
+    assert _texts(pdf) == ["first", "second", "third"]
+
+
+_HANDWRITTEN = b"""%PDF-1.4
+1 0 obj
+<< /Type /Catalog /Pages 2 0 R >>
+endobj
+2 0 obj
+<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+endobj
+3 0 obj
+<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>
+endobj
+4 0 obj
+<< /Length 104 >>
+stream
+BT
+12 TL
+1 0 0 1 72 720 Tm
+[(A) -250 (B)] TJ
+0 -20 Td
+(C) Tj
+(D) '
+<4546> Tj
+ET
+endstream
+endobj
+trailer
+<< /Root 1 0 R >>
+"""
+
+
+def test_operators_tj_array_td_quote_hex():
+    # TJ array with kerning, Td line move, ' (T* + show), hex string
+    assert _texts(_HANDWRITTEN) == ["A B\nC\nD EF"]
+
+
+def test_octal_escape_and_line_continuation():
+    runs = extract_runs(b"BT (A\\101\\\n B) Tj ET")
+    assert runs[0]["text"] == "AA B"
+
+
+def test_utf16be_text_string():
+    raw = "Grüß".encode("utf-16-be")
+    content = b"BT <FEFF" + raw.hex().upper().encode() + b"> Tj ET"
+    runs = extract_runs(content)
+    assert runs[0]["text"] == "Grüß"
+
+
+def test_malformed_payloads_raise_valueerror():
+    with pytest.raises(ValueError):
+        pdf_to_layout_pages(b"not a pdf")
+    with pytest.raises(ValueError):
+        pdf_to_layout_pages(b"%PDF-1.4 garbage, no objects")
+    # Flate stream with corrupt data
+    bad = (b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /FlateDecode >>\n"
+           b"stream\nXXXX\nendstream\nendobj\n")
+    with pytest.raises(ValueError):
+        pdf_to_layout_pages(bad)
+
+
+def test_unsupported_filter_raises():
+    bad = (b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /DCTDecode >>\n"
+           b"stream\nXXXX\nendstream\nendobj\n")
+    with pytest.raises(ValueError):
+        pdf_to_layout_pages(bad)
+
+
+def test_fallback_without_page_tree():
+    # no catalog: discovery order over BT-bearing streams
+    raw = (b"%PDF-1.4\n7 0 obj\n<< /Length 31 >>\nstream\n"
+           b"BT 1 0 0 1 72 720 Tm (x) Tj ET\nendstream\nendobj\n")
+    assert _texts(raw) == ["x"]
+
+
+def test_extract_document_real_pdf():
+    pdf = make_pdf(
+        [[("alpha", 72.0, 720.0), ("beta", 112.0, 720.0)],
+         [("gamma", 72.0, 720.0)]],
+        compress=True,
+    )
+    rec = extract_document(pdf)
+    assert rec["doc_kind"] == "pdf"
+    assert rec["valid"] is True
+    assert rec["text"] == "alpha beta\n\ngamma"
+    assert rec["meta"]["n_pages"] == 2
+    assert [s["kind"] for s in rec["spans"]] == ["paragraph", "paragraph"]
+
+
+def test_extract_document_corrupt_pdf_is_failure_as_data():
+    rec = extract_document(b"%PDF-1.4\nnothing here")
+    assert rec["doc_kind"] == "pdf"
+    assert rec["valid"] is False
+    assert rec["errors"] and "pdf parse failed" in rec["errors"][0]
+
+
+def test_fanout_handles_pdf_and_layout(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from extract_kit_ray.stages.pdf_stage import extract_layout_fanout
+
+    pdf = make_pdf([[("p1", 72.0, 720.0)], [("p2", 72.0, 720.0)]])
+    layout = json.dumps(
+        {"kind": "ek-layout",
+         "pages": [{"runs": [{"text": "lay", "x": 72.0, "y": 720.0}]}]}
+    ).encode()
+    tbl = pa.table(
+        {
+            "url": pa.array(["https://x/a.pdf", "https://x/b.layout", "https://x/c.bin"]),
+            "warc_ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            "html": pa.array([pdf, layout, b"\x00\x01binary"], pa.binary()),
+            "lang": pa.array(["en", "en", "en"]),
+        }
+    )
+    out = {r["url"]: r for r in
+           extract_layout_fanout(ray.data.from_arrow(tbl)).take_all()}
+    assert out["https://x/a.pdf"]["text"] == "p1\n\np2"
+    assert out["https://x/a.pdf"]["n_pages"] == 2
+    assert out["https://x/b.layout"]["text"] == "lay"
+    assert out["https://x/c.bin"]["valid"] is False
