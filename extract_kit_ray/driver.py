@@ -150,10 +150,22 @@ def q_extract_html_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     return extracted.map_batches(_doc_id_from_url, batch_format="pyarrow")
 
 
+_DOCX_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_DOCX_R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_DOCX_NUMBERING = (
+    f'<?xml version="1.0"?><w:numbering xmlns:w="{_DOCX_W}">'
+    '<w:abstractNum w:abstractNumId="0">'
+    '<w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/></w:lvl></w:abstractNum>'
+    '<w:num w:numId="10"><w:abstractNumId w:val="0"/></w:num></w:numbering>'
+)
+
+
 def _wrap_docs_as_docx(batch: pa.Table) -> pa.Table:
-    """documents rows -> minimal DOCX payloads (one paragraph per doc),
-    exercising the zip preprocess + document.xml -> HTML -> markdown
-    chain (SURVEY.md S9, M7-M9, M12-M13) on driver data."""
+    """documents rows -> DOCX payloads exercising the zip preprocess +
+    document.xml -> HTML -> markdown chain (SURVEY.md S9, M7-M9,
+    M12-M13) on driver data — including numbering.xml-resolved bulleted
+    lists and a rels-resolved hyperlink, so the parity features carry
+    the byte-identity oracle too."""
     import io
     import zipfile
 
@@ -162,17 +174,34 @@ def _wrap_docs_as_docx(batch: pa.Table) -> pa.Table:
     urls = [f"https://docs.example/{i}.docx" for i in ids]
     ts = [_DOC_EPOCH_US + int(i) for i in ids]
     payloads = []
-    for t in texts:
+    for i, t in zip(ids, texts):
+        list_items = "".join(
+            '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="10"/>'
+            f"</w:numPr></w:pPr><w:r><w:t>{item}</w:t></w:r></w:p>"
+            for item in ("alpha", "beta")
+        )
         doc = (
-            '<?xml version="1.0"?>\n<w:document xmlns:w='
-            '"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+            '<?xml version="1.0"?>\n<w:document '
+            f'xmlns:w="{_DOCX_W}" xmlns:r="{_DOCX_R}">'
             f"<w:body><w:p><w:r><w:t>{_html.escape(t or '')}</w:t></w:r></w:p>"
+            f"{list_items}"
+            '<w:p><w:hyperlink r:id="rId1"><w:r><w:t>more</w:t></w:r>'
+            "</w:hyperlink></w:p>"
             "</w:body></w:document>"
+        )
+        rels = (
+            '<?xml version="1.0"?><Relationships xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://x/hyperlink" '
+            f'Target="https://docs.example/{int(i)}" TargetMode="External"/>'
+            "</Relationships>"
         )
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
             z.writestr("[Content_Types].xml", '<?xml version="1.0"?><Types/>')
             z.writestr("word/document.xml", doc)
+            z.writestr("word/numbering.xml", _DOCX_NUMBERING)
+            z.writestr("word/_rels/document.xml.rels", rels)
         payloads.append(buf.getvalue())
     return pa.table(
         {
@@ -1130,8 +1159,15 @@ ORACLE_SQL = {
         "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
         "FROM documents"
     ),
+    # paragraph + bulleted list (numbering.xml) + rels-resolved
+    # hyperlink, reconstructed exactly; empty docs drop the leading
+    # paragraph block
     "extract_docx_roundtrip": (
-        "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
+        "SELECT doc_id, "
+        "CASE WHEN trim(text) = '' THEN '' ELSE "
+        "regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) || chr(10) END "
+        "|| '- alpha' || chr(10) || '- beta' || chr(10) || chr(10) "
+        "|| '[more](https://docs.example/' || doc_id || ')' || chr(10) AS text "
         "FROM documents"
     ),
     # general over ANY page count (list_transform over generate_series),

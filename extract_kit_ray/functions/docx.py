@@ -5,9 +5,20 @@ Rebuilds the reference's DOCX chain (SURVEY.md §3.3) without mammoth:
 1. zip preprocess — OMML math in word/document.xml, word/footnotes.xml,
    word/endnotes.xml replaced with ``$...$``/``$$...$$`` LaTeX text runs
    (docx-preprocessor.ts:90-123, regex pack ported in :mod:`omml`)
-2. a minimal WordprocessingML walker producing HTML: headings from
-   pStyle Heading1-6, bold/italic runs, consecutive numPr paragraphs
-   grouped into lists, w:tbl -> <table> (the mammoth step M9, rebuilt)
+2. a WordprocessingML walker producing HTML (the mammoth step M9,
+   rebuilt — docx-converter.ts:163-202 semantics):
+   - headings from pStyle Heading1-6, bold/italic runs
+   - numbered vs bulleted lists from ``w:numPr`` resolved through
+     word/numbering.xml (numId -> abstractNum -> lvl numFmt), nested
+     by ``w:ilvl``
+   - hyperlinks from ``w:hyperlink`` r:id resolved through
+     word/_rels/document.xml.rels (and ``w:anchor`` -> ``#fragment``)
+   - images (``w:drawing`` / legacy ``w:pict``) as ``<img alt>``
+     placeholders carrying the docPr descr/name alt text
+   - a mammoth-style styleMap: ``p[style-name='X'] => tag`` /
+     ``r[style-name='X'] => tag`` entries override the defaults
+     (docx-converter.ts:166-169 passthrough, U4)
+   - w:tbl -> <table>
 3. the HTML then flows through the shared HTML->Markdown stage (stage
    composition, SURVEY.md §7.2 step 5)
 
@@ -26,6 +37,8 @@ from xml.etree import ElementTree
 from .omml import preprocess_math_xml
 
 W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+RELS_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 MATH_PROCESS_FILES = (  # docx-preprocessor.ts:95-99
     "word/document.xml",
@@ -36,6 +49,17 @@ MATH_PROCESS_FILES = (  # docx-preprocessor.ts:95-99
 _HEADING_RE = re.compile(r"^Heading([1-6])$", re.I)
 # strip any non-w namespace elements the tiny walker doesn't know
 _NS_TAG = re.compile(r"^\{[^}]*\}")
+# mammoth styleMap entry: p[style-name='Quote'] => blockquote
+_STYLE_MAP_RE = re.compile(
+    r"^\s*([pr])\[style-name=['\"]([^'\"]+)['\"]\]\s*=>\s*([A-Za-z][A-Za-z0-9]*)\s*$"
+)
+
+# numbering formats that render as ordered lists; anything else
+# (bullet, none, unknown) renders unordered
+_ORDERED_FMTS = frozenset(
+    {"decimal", "lowerLetter", "upperLetter", "lowerRoman", "upperRoman",
+     "decimalZero", "ordinal", "cardinalText", "ordinalText"}
+)
 
 
 def preprocess_docx(payload: bytes) -> bytes:
@@ -58,16 +82,106 @@ def preprocess_docx(payload: bytes) -> bytes:
         return payload
 
 
-def _run_html(run: ElementTree.Element, warnings: list[str]) -> str:
-    """One w:r -> inline HTML (bold/italic from rPr, text from w:t/w:br/w:tab)."""
+def parse_style_map(entries: list[str] | None, warnings: list[str]) -> tuple[dict, dict]:
+    """Mammoth-style styleMap entries -> ({p_style: tag}, {r_style: tag}).
+
+    Unparseable entries warn and are skipped (mammoth contract: custom
+    maps extend, never crash)."""
+    p_map: dict[str, str] = {}
+    r_map: dict[str, str] = {}
+    for entry in entries or []:
+        m = _STYLE_MAP_RE.match(entry)
+        if not m:
+            warnings.append(f"unparseable styleMap entry: {entry!r}")
+            continue
+        (p_map if m.group(1) == "p" else r_map)[m.group(2)] = m.group(3).lower()
+    return p_map, r_map
+
+
+def _load_rels(zf: zipfile.ZipFile) -> dict[str, str]:
+    """word/_rels/document.xml.rels -> {rId: Target} (hyperlink hrefs)."""
+    try:
+        data = zf.read("word/_rels/document.xml.rels")
+    except KeyError:
+        return {}
+    try:
+        root = ElementTree.fromstring(data)
+    except ElementTree.ParseError:
+        return {}
+    out = {}
+    for rel in root.iter(f"{RELS_NS}Relationship"):
+        rid = rel.get("Id")
+        target = rel.get("Target")
+        if rid and target:
+            out[rid] = target
+    return out
+
+
+def _load_numbering(zf: zipfile.ZipFile) -> dict[str, dict[int, str]]:
+    """word/numbering.xml -> {numId: {ilvl: numFmt}}."""
+    try:
+        data = zf.read("word/numbering.xml")
+    except KeyError:
+        return {}
+    try:
+        root = ElementTree.fromstring(data)
+    except ElementTree.ParseError:
+        return {}
+    abstract: dict[str, dict[int, str]] = {}
+    for an in root.iter(f"{W_NS}abstractNum"):
+        aid = an.get(f"{W_NS}abstractNumId")
+        lvls: dict[int, str] = {}
+        for lvl in an.iter(f"{W_NS}lvl"):
+            try:
+                ilvl = int(lvl.get(f"{W_NS}ilvl", "0"))
+            except ValueError:
+                continue
+            fmt = lvl.find(f"{W_NS}numFmt")
+            lvls[ilvl] = fmt.get(f"{W_NS}val", "bullet") if fmt is not None else "bullet"
+        if aid is not None:
+            abstract[aid] = lvls
+    nums: dict[str, dict[int, str]] = {}
+    for num in root.iter(f"{W_NS}num"):
+        nid = num.get(f"{W_NS}numId")
+        ref = num.find(f"{W_NS}abstractNumId")
+        if nid is not None and ref is not None:
+            nums[nid] = abstract.get(ref.get(f"{W_NS}val", ""), {})
+    return nums
+
+
+class _DocCtx:
+    """Per-document conversion context: rels, numbering, styleMap."""
+
+    def __init__(self, rels=None, numbering=None, p_style_map=None, r_style_map=None):
+        self.rels = rels or {}
+        self.numbering = numbering or {}
+        self.p_style_map = p_style_map or {}
+        self.r_style_map = r_style_map or {}
+
+
+def _drawing_alt(element: ElementTree.Element) -> str:
+    """Alt text of a w:drawing / w:pict: docPr descr (preferred) or name."""
+    for node in element.iter():
+        if node.tag.endswith("}docPr"):
+            return node.get("descr") or node.get("name") or ""
+    return ""
+
+
+def _run_html(run: ElementTree.Element, ctx: _DocCtx, warnings: list[str]) -> str:
+    """One w:r -> inline HTML (bold/italic/rStyle from rPr, text from
+    w:t/w:br/w:tab, images from w:drawing/w:pict)."""
     bold = False
     italic = False
+    r_style_tag = ""
     rpr = run.find(f"{W_NS}rPr")
     if rpr is not None:
         b = rpr.find(f"{W_NS}b")
         bold = b is not None and b.get(f"{W_NS}val", "true") not in ("false", "0")
         i = rpr.find(f"{W_NS}i")
         italic = i is not None and i.get(f"{W_NS}val", "true") not in ("false", "0")
+        rstyle = rpr.find(f"{W_NS}rStyle")
+        if rstyle is not None:
+            r_style_tag = ctx.r_style_map.get(rstyle.get(f"{W_NS}val", ""), "")
     parts: list[str] = []
     for child in run:
         tag = child.tag
@@ -77,6 +191,9 @@ def _run_html(run: ElementTree.Element, warnings: list[str]) -> str:
             parts.append("<br>")
         elif tag == f"{W_NS}tab":
             parts.append(" ")
+        elif tag in (f"{W_NS}drawing", f"{W_NS}pict", f"{W_NS}object"):
+            alt = _drawing_alt(child)
+            parts.append(f'<img alt="{escape(alt, quote=True)}">')
         elif tag != f"{W_NS}rPr":
             short = _NS_TAG.sub("", tag)
             if short not in ("lastRenderedPageBreak", "noBreakHyphen", "softHyphen"):
@@ -88,41 +205,74 @@ def _run_html(run: ElementTree.Element, warnings: list[str]) -> str:
         text = f"<strong>{text}</strong>"
     if italic:
         text = f"<em>{text}</em>"
+    if r_style_tag:
+        text = f"<{r_style_tag}>{text}</{r_style_tag}>"
     return text
 
 
-def _paragraph_info(p: ElementTree.Element, warnings: list[str]) -> tuple[str, str, bool]:
-    """One w:p -> (inline_html, heading_level_tag_or_p, is_list_item)."""
+def _inline_html(p: ElementTree.Element, ctx: _DocCtx, warnings: list[str]) -> str:
+    """Paragraph children -> inline HTML, resolving w:hyperlink wrappers."""
+    parts: list[str] = []
+    for child in p:
+        if child.tag == f"{W_NS}r":
+            parts.append(_run_html(child, ctx, warnings))
+        elif child.tag == f"{W_NS}hyperlink":
+            inner = "".join(
+                _run_html(r, ctx, warnings) for r in child.findall(f"{W_NS}r")
+            )
+            rid = child.get(f"{R_NS}id")
+            anchor = child.get(f"{W_NS}anchor")
+            href = ctx.rels.get(rid, "") if rid else (f"#{anchor}" if anchor else "")
+            if href and inner:
+                parts.append(f'<a href="{escape(href, quote=True)}">{inner}</a>')
+            elif inner:
+                warnings.append("hyperlink with unresolved relationship id")
+                parts.append(inner)
+    return "".join(parts)
+
+
+def _paragraph_info(
+    p: ElementTree.Element, ctx: _DocCtx, warnings: list[str]
+) -> tuple[str, str, tuple[int, str] | None]:
+    """One w:p -> (inline_html, block_tag, list_info).
+
+    list_info is None for non-list paragraphs, else (ilvl, "ol"|"ul")
+    resolved through numbering.xml."""
     style = ""
-    is_list = False
+    list_info: tuple[int, str] | None = None
     ppr = p.find(f"{W_NS}pPr")
     if ppr is not None:
         pstyle = ppr.find(f"{W_NS}pStyle")
         if pstyle is not None:
             style = pstyle.get(f"{W_NS}val", "")
-        if ppr.find(f"{W_NS}numPr") is not None:
-            is_list = True
-    inner_parts = []
-    for child in p:
-        if child.tag == f"{W_NS}r":
-            inner_parts.append(_run_html(child, warnings))
-        elif child.tag == f"{W_NS}hyperlink":
-            for r in child.findall(f"{W_NS}r"):
-                inner_parts.append(_run_html(r, warnings))
-    inner = "".join(inner_parts)
-    m = _HEADING_RE.match(style)
-    tag = f"h{m.group(1)}" if m else "p"
-    return inner, tag, is_list
+        numpr = ppr.find(f"{W_NS}numPr")
+        if numpr is not None:
+            ilvl_el = numpr.find(f"{W_NS}ilvl")
+            numid_el = numpr.find(f"{W_NS}numId")
+            try:
+                ilvl = int(ilvl_el.get(f"{W_NS}val", "0")) if ilvl_el is not None else 0
+            except ValueError:
+                ilvl = 0
+            numid = numid_el.get(f"{W_NS}val", "") if numid_el is not None else ""
+            fmt = ctx.numbering.get(numid, {}).get(ilvl, "bullet")
+            list_info = (ilvl, "ol" if fmt in _ORDERED_FMTS else "ul")
+    inner = _inline_html(p, ctx, warnings)
+    if style in ctx.p_style_map:
+        tag = ctx.p_style_map[style]
+    else:
+        m = _HEADING_RE.match(style)
+        tag = f"h{m.group(1)}" if m else "p"
+    return inner, tag, list_info
 
 
-def _table_html(tbl: ElementTree.Element, warnings: list[str]) -> str:
+def _table_html(tbl: ElementTree.Element, ctx: _DocCtx, warnings: list[str]) -> str:
     rows = []
     for tr in tbl.findall(f"{W_NS}tr"):
         cells = []
         for tc in tr.findall(f"{W_NS}tc"):
             cell_parts = []
             for p in tc.findall(f"{W_NS}p"):
-                inner, _, _ = _paragraph_info(p, warnings)
+                inner, _, _ = _paragraph_info(p, ctx, warnings)
                 if inner:
                     cell_parts.append(inner)
             cells.append(f"<td>{' '.join(cell_parts)}</td>")
@@ -130,46 +280,64 @@ def _table_html(tbl: ElementTree.Element, warnings: list[str]) -> str:
     return f"<table>{''.join(rows)}</table>"
 
 
-def docx_xml_to_html(document_xml: str, warnings: list[str]) -> str:
-    """word/document.xml -> HTML string (the rebuilt mammoth step)."""
+def docx_xml_to_html(
+    document_xml: str, warnings: list[str], ctx: _DocCtx | None = None
+) -> str:
+    """word/document.xml -> HTML string (the rebuilt mammoth step).
+
+    Consecutive list paragraphs group into (possibly nested) <ul>/<ol>
+    by ilvl; a list-type change at the same level closes and reopens."""
+    ctx = ctx or _DocCtx()
     root = ElementTree.fromstring(document_xml)
     body = root.find(f"{W_NS}body")
     if body is None:
         warnings.append("document.xml has no body")
         return ""
     out: list[str] = []
-    open_list = False
+    # stack of open list tags, one per nesting level
+    stack: list[tuple[int, str]] = []
+
+    def close_to(level: int) -> None:
+        while stack and stack[-1][0] >= level:
+            out.append(f"</{stack.pop()[1]}>")
+
+    def close_all() -> None:
+        close_to(-1)
+
     for element in body:
         tag = element.tag
         if tag == f"{W_NS}p":
-            inner, htag, is_list = _paragraph_info(element, warnings)
-            if is_list:
-                if not open_list:
-                    out.append("<ul>")
-                    open_list = True
+            inner, htag, list_info = _paragraph_info(element, ctx, warnings)
+            if list_info is not None:
+                ilvl, ltag = list_info
+                if stack and stack[-1][0] == ilvl and stack[-1][1] != ltag:
+                    close_to(ilvl)  # type change at same level
+                close_to(ilvl + 1)
+                while not stack or stack[-1][0] < ilvl:
+                    nxt = (stack[-1][0] + 1) if stack else 0
+                    out.append(f"<{ltag}>")
+                    stack.append((nxt, ltag))
                 out.append(f"<li>{inner}</li>")
                 continue
-            if open_list:
-                out.append("</ul>")
-                open_list = False
+            close_all()
             if inner:
                 out.append(f"<{htag}>{inner}</{htag}>")
         elif tag == f"{W_NS}tbl":
-            if open_list:
-                out.append("</ul>")
-                open_list = False
-            out.append(_table_html(element, warnings))
+            close_all()
+            out.append(_table_html(element, ctx, warnings))
         elif tag != f"{W_NS}sectPr":
             warnings.append(f"unsupported body element: {_NS_TAG.sub('', tag)}")
-    if open_list:
-        out.append("</ul>")
+    close_all()
     return "".join(out)
 
 
-def docx_to_html(payload: bytes) -> tuple[str, list[str]]:
+def docx_to_html(
+    payload: bytes, *, style_map: list[str] | None = None
+) -> tuple[str, list[str]]:
     """Full DOCX bytes -> (HTML, warnings). Raises ValueError only when the
     payload is not a readable DOCX at all (callers turn that into a
-    failure-as-data row)."""
+    failure-as-data row).  ``style_map`` takes mammoth-style entries
+    (docx-converter.ts:166-169 passthrough)."""
     warnings: list[str] = []
     preprocessed = preprocess_docx(payload)
     try:
@@ -177,8 +345,15 @@ def docx_to_html(payload: bytes) -> tuple[str, list[str]]:
         document_xml = zf.read("word/document.xml").decode("utf-8")
     except (zipfile.BadZipFile, KeyError, UnicodeDecodeError) as exc:
         raise ValueError(f"unreadable docx: {exc}") from exc
+    p_map, r_map = parse_style_map(style_map, warnings)
+    ctx = _DocCtx(
+        rels=_load_rels(zf),
+        numbering=_load_numbering(zf),
+        p_style_map=p_map,
+        r_style_map=r_map,
+    )
     try:
-        html = docx_xml_to_html(document_xml, warnings)
+        html = docx_xml_to_html(document_xml, warnings, ctx)
     except ElementTree.ParseError as exc:
         raise ValueError(f"malformed document.xml: {exc}") from exc
     return html, warnings

@@ -250,6 +250,8 @@ def _h_img(node: Node, ctx: _Ctx) -> str:
     alt = node.get("alt")
     src = node.get("src")
     title = node.attrs.get("title")
+    if not src:  # src-less placeholder (DOCX embedded images): [alt]
+        return f"[{alt}]" if alt else "[Image]"
     if src.startswith("data:"):
         if len(src) > 100:
             mime = src.split(";")[0].replace("data:", "", 1)
