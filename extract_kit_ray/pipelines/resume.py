@@ -4,12 +4,13 @@ Flow::
 
     done = read manifests; delete unmanifested part dirs
     pages -> add part = hash(url) % P -> filter(part not done)   # skip work
-          -> HtmlExtractor actor pool -> write_parquet(partition_cols=[part])
-    read back (url, meta.n_bytes_out) per new part  -> write manifests
+          -> HtmlExtractor actor pool -> groupby(part)
+          -> per-part task: write data-0.parquet, commit manifest
 
 The done-part filter is a broadcast-small-side semi-join: the done set is
-captured in the map closure (a few KB), no shuffle.  The read-back for
-manifests prunes to two cheap columns — it never re-reads text.
+captured in the map closure (a few KB), no shuffle.  Manifest stats are
+computed inside the part-keyed group task (which holds the whole part),
+never by a driver-side read-back of the output.
 """
 
 from __future__ import annotations
@@ -75,55 +76,64 @@ def run_partitioned_extract(
         _part_from_urls, fn_kwargs={"n_parts": n_parts}, batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # Co-locate rows by part BEFORE writing: write_parquet(partition_cols)
-    # splits every block into per-part files, so B blocks x P parts would
-    # emit B*P tiny files (observed 12,800 for 200k docs).  The groupby
-    # shuffle — keyed on the same part id resume depends on — yields one
-    # output block (= one file) per part.  Size n_parts so corpus/n_parts
-    # is a sane file size (~1 GB at scale).
-    def _identity(group: pa.Table) -> pa.Table:
-        return group
-
-    extracted = extracted.groupby("part").map_groups(_identity, batch_format="pyarrow")
+    # Co-locate rows by part, then each part-keyed group task WRITES its
+    # own parquet file and COMMITS its manifest (write-then-commit per
+    # part).  Two scale problems solved at once:
+    # - write_parquet(partition_cols) splits every block into per-part
+    #   files, so B blocks x P parts would emit B*P tiny files (observed
+    #   12,800 for 200k docs); the groupby yields one file per part.
+    # - manifest stats (row count / url checksum / byte sum) are computed
+    #   IN the task that already holds the whole part — the round-1
+    #   driver-side read-back of the full output's url+meta columns was a
+    #   sequential scan of the corpus at 100 TB.
+    # Commit order inside the task is crash-safe: tmp file -> rename ->
+    # manifest (atomic os.replace).  A crash between rename and manifest
+    # leaves an unmanifested part dir, which the next run's
+    # clean_incomplete_parts deletes and recomputes.  Assumes out_dir is
+    # shared storage (same assumption the partitioned write made).
     os.makedirs(out_dir, exist_ok=True)
-    extracted.write_parquet(out_dir, partition_cols=["part"])
+    import functools
 
-    new_parts = _publish_manifests(out_dir, skip_parts=frozenset(done))
+    stats_rows = (
+        extracted.groupby("part")
+        .map_groups(functools.partial(_write_part_group, out_dir=out_dir),
+                    batch_format="pyarrow")
+        .take_all()
+    )  # bounded: one tiny stats row per part
+    new_parts = sorted(int(r["part"]) for r in stats_rows)
     return {
         "resumed": bool(done),
         "parts_done_before": sorted(done),
         "parts_cleaned": removed,
-        "parts_written": sorted(new_parts),
+        "parts_written": new_parts,
         "n_parts": n_parts,
     }
 
 
-def _publish_manifests(out_dir: str, skip_parts: frozenset[int]) -> list[int]:
-    """Column-pruned read-back of newly written parts -> manifests."""
-    new_parts = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("part="):
-            continue
-        part = int(name.split("=", 1)[1])
-        if part in skip_parts:
-            continue
-        new_parts.append(part)
-    for part in new_parts:
-        part_dir = os.path.join(out_dir, f"part={part}")
-        tbl = _read_part_stats(part_dir)
-        mf.write_manifest(
-            out_dir, part,
-            row_count=tbl.num_rows,
-            url_checksum=mf.checksum_urls(tbl["url"].to_pylist()),
-            n_bytes_out=pc.sum(pc.struct_field(tbl["meta"], "n_bytes_out")).as_py() or 0,
-        )
-    return new_parts
-
-
-def _read_part_stats(part_dir: str) -> pa.Table:
+def _write_part_group(group: pa.Table, *, out_dir: str) -> pa.Table:
+    """Part-keyed group writer: data file + manifest from one task."""
     import pyarrow.parquet as pq
 
-    return pq.read_table(part_dir, columns=["url", "meta"])
+    part = int(group["part"][0].as_py())
+    part_dir = os.path.join(out_dir, f"part={part}")
+    os.makedirs(part_dir, exist_ok=True)
+    data = group.drop_columns(["part"])
+    final = os.path.join(part_dir, "data-0.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(data, tmp)
+    os.replace(tmp, final)
+    n_bytes = pc.sum(pc.struct_field(data["meta"], "n_bytes_out")).as_py() or 0
+    mf.write_manifest(
+        out_dir, part,
+        row_count=data.num_rows,
+        url_checksum=mf.checksum_urls(data["url"].to_pylist()),
+        n_bytes_out=int(n_bytes),
+    )
+    return pa.table({
+        "part": pa.array([part], pa.int32()),
+        "row_count": pa.array([data.num_rows], pa.int64()),
+        "n_bytes_out": pa.array([int(n_bytes)], pa.int64()),
+    })
 
 
 def read_extracted(out_dir: str) -> "ray.data.Dataset":
