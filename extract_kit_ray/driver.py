@@ -1043,6 +1043,72 @@ def q_flagship_fixture(sf_dir: str) -> "ray.data.Dataset":
     return extracted.map_batches(project, batch_format="pyarrow")
 
 
+def _wrap_docs_as_invoices(batch: pa.Table) -> pa.Table:
+    """documents rows -> invoice-style docs with doc_id-derived planted
+    fields, so the fake-LLM extraction output is SQL-reconstructable."""
+    ids = batch["doc_id"].to_pylist()
+    texts = [
+        (
+            f"INVOICE\nInvoice No: INV-{i:08d}\n"
+            f"Date: 2024-{1 + i % 12:02d}-{1 + i % 28:02d}\n"
+            f"Total: {i % 9000 + 100}.{i % 100:02d} EUR"
+        )
+        for i in (int(x) for x in ids)
+    ]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+def q_structured_extract(sf_dir: str) -> "ray.data.Dataset":
+    """The vision-LLM structured-extraction path (generate half of V7,
+    A2/M21/M22) against the deterministic fake provider: client built
+    once per actor, schema-derived prompt, validate + retry<=2,
+    failure-as-data.  Planted fields, the retry count (doc_id%7 ->
+    malformed first attempt), and the persistent-failure rows
+    (doc_id%13 -> out-of-range confidence) are all doc_id-derived, so
+    the full output is SQL-checkable."""
+    import json as _json
+
+    from .stages.llm_stage import StructuredExtractor
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    invoices = ds.map_batches(_wrap_docs_as_invoices, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    extracted = invoices.map_batches(
+        StructuredExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=128, **_pool(),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        nums, dates, currs, cents_out = [], [], [], []
+        for raw in batch["data"].to_pylist():
+            if not raw:
+                nums.append(None); dates.append(None)
+                currs.append(None); cents_out.append(None)
+                continue
+            j = _json.loads(raw)
+            nums.append(j["invoice_details"]["invoice_number"])
+            dates.append(j["invoice_details"]["invoice_date"])
+            currs.append(j["document_info"]["currency"])
+            total = j["financial_totals"]["total_amount"]
+            cents_out.append(int(cents([total])[0]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "invoice_number": pa.array(nums, pa.string()),
+                "invoice_date": pa.array(dates, pa.string()),
+                "currency": pa.array(currs, pa.string()),
+                "total_cents": pa.array(cents_out, pa.int64()),
+                "valid": batch["valid"],
+                "n_attempts": pc.cast(batch["n_attempts"], pa.int64()),
+            }
+        )
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
 def q_schema_validate(sf_dir: str) -> "ray.data.Dataset":
     """Zod-equivalent path end-to-end (SURVEY.md V2+V7): compile a
     JSON-Schema to a pyarrow struct, validate the events ``props`` JSON
@@ -1150,6 +1216,7 @@ QUERIES = {
     "media_features": q_media_features,
     "flagship_fixture": q_flagship_fixture,
     "domain_lineage": q_domain_lineage,
+    "structured_extract": q_structured_extract,
     "schema_validate": q_schema_validate,
     "layout_fanout": q_layout_fanout,
 }
@@ -1320,6 +1387,23 @@ ORACLE_SQL = {
     "schema_validate": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
         "TRUE AS valid FROM events"
+    ),
+    # fake-LLM structured extraction: planted fields + deterministic
+    # retry/failure pattern, all doc_id-derived
+    "structured_extract": (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE "
+        "'INV-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') END AS invoice_number, "
+        "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE "
+        "'2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-' || "
+        "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') END AS invoice_date, "
+        "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'EUR' END AS currency, "
+        "CAST(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE "
+        "(doc_id % 9000 + 100) * 100 + doc_id % 100 END AS BIGINT) AS total_cents, "
+        "doc_id % 13 <> 0 AS valid, "
+        "CAST(CASE WHEN doc_id % 13 = 0 THEN 3 WHEN doc_id % 7 = 0 THEN 2 "
+        "ELSE 1 END AS BIGINT) AS n_attempts "
+        "FROM documents"
     ),
     "ann_topk": (
         "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "

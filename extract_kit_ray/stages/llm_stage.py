@@ -1,0 +1,184 @@
+"""Structured-extraction stage: the reference's vision-LLM
+generate+validate path (SURVEY.md A2, M21, M22, V7) rebuilt as a Ray
+actor-pool stage with a deterministic in-sandbox provider.
+
+Reference shape (packages/pdf-processor/src/core/vision/
+ai-generator.ts:50-159 and provider factory ai-provider.ts):
+
+- provider client factory (A2): named providers map to client classes;
+  the client is built ONCE per worker (here: actor ``__init__``), not
+  per document
+- prompt builder (M21): schema field inventory + extraction
+  instructions + the document content
+- image message formatter (M22): page images as data-URL message parts
+- generate -> validate -> retry loop (V7): on validation failure the
+  prompt gains a repair hint and the model is re-asked, at most
+  ``max_retries`` times; persistent failure is DATA
+  (valid=False + error strings), never an exception
+
+No LLM exists in this environment, so the only registered provider is
+``fake``: a seeded deterministic model that "reads" planted fields out
+of the document text and exhibits deterministic failure modes
+(malformed JSON on first attempt for doc_id % 7 == 0, an
+out-of-range confidence_score for doc_id % 13 == 0) so the retry and
+failure paths are exercised and SQL-oracle-checkable.  Swapping in a
+real provider changes only ``make_client``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+
+import pyarrow as pa
+
+from ..schemas import COMPREHENSIVE_INVOICE_TYPE, validate_record
+
+# ---------------------------------------------------------------------------
+# prompt builder (M21) + image message formatter (M22)
+# ---------------------------------------------------------------------------
+
+
+def _field_inventory(patype: pa.DataType, prefix: str = "") -> list[str]:
+    out = []
+    if pa.types.is_struct(patype):
+        for field in patype:
+            out.extend(_field_inventory(field.type, f"{prefix}{field.name}."))
+    elif pa.types.is_list(patype):
+        out.extend(_field_inventory(patype.value_type, f"{prefix}[]."))
+    else:
+        out.append(f"{prefix.rstrip('.')}: {patype}")
+    return out
+
+
+def build_prompt(target: pa.DataType, document_text: str) -> str:
+    """Schema-derived extraction prompt (ai-generator.ts:50-98 role)."""
+    fields = "\n".join(f"- {f}" for f in _field_inventory(target)[:80])
+    return (
+        "Extract the following fields from the document as strict JSON.\n"
+        "Missing fields must be null. Do not invent values.\n\n"
+        f"FIELDS:\n{fields}\n\nDOCUMENT:\n{document_text}"
+    )
+
+
+def format_image_message(payload: bytes, mime: str = "image/png") -> dict:
+    """Vision message part with a base64 data URL
+    (ai-generator.ts image message role, M22)."""
+    b64 = base64.b64encode(payload).decode("ascii")
+    return {"type": "image_url", "image_url": {"url": f"data:{mime};base64,{b64}"}}
+
+
+# ---------------------------------------------------------------------------
+# provider client factory (A2)
+# ---------------------------------------------------------------------------
+
+_INV_NO_RE = re.compile(r"Invoice No:\s*(INV-(\d+))")
+_DATE_RE = re.compile(r"Date:\s*(\d{4}-\d{2}-\d{2})")
+_TOTAL_RE = re.compile(r"Total:\s*([0-9]+\.[0-9]{2})\s*([A-Z]{3})")
+
+
+class FakeLlmClient:
+    """Seeded deterministic 'model': perfect regex reader of the planted
+    invoice fields, plus deterministic failure injection keyed on the
+    invoice number so the stage's retry/failure paths run and the
+    output stays SQL-reconstructable."""
+
+    def __init__(self, seed: int = 1234):
+        self.seed = seed
+
+    def generate(self, prompt: str) -> str:
+        doc = prompt.rsplit("DOCUMENT:\n", 1)[-1]
+        m_no = _INV_NO_RE.search(doc)
+        doc_id = int(m_no.group(2)) if m_no else 0
+        # failure mode 1: malformed JSON on the first attempt (repaired
+        # when the retry prompt carries the REPAIR hint)
+        if doc_id % 7 == 0 and "REPAIR:" not in prompt:
+            return '{"document_info": {'
+        m_date = _DATE_RE.search(doc)
+        m_total = _TOTAL_RE.search(doc)
+        # failure mode 2: schema-invalid confidence on EVERY attempt
+        confidence = 1.5 if doc_id % 13 == 0 else 0.5 + (doc_id % 50) / 100.0
+        record = {
+            "document_info": {
+                "document_type": "invoice",
+                "currency": m_total.group(2) if m_total else None,
+            },
+            "invoice_details": {
+                "invoice_number": m_no.group(1) if m_no else None,
+                "invoice_date": m_date.group(1) if m_date else None,
+            },
+            "financial_totals": {
+                "total_amount": float(m_total.group(1)) if m_total else None,
+                "currency": m_total.group(2) if m_total else None,
+            },
+            "extraction_metadata": {
+                "confidence_score": confidence,
+                "fields_found": 4,
+                "fields_empty": 0,
+                "processing_notes": [],
+            },
+        }
+        return json.dumps(record, sort_keys=True)
+
+
+def make_client(provider: str, seed: int = 1234):
+    """Provider factory (ai-provider.ts role). Only 'fake' exists in
+    this sandbox; unknown providers fail loudly at stage build time."""
+    if provider == "fake":
+        return FakeLlmClient(seed)
+    raise ValueError(
+        f"unknown provider {provider!r}: no LLM providers are available "
+        "in this environment (register a client in make_client)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the actor-pool stage (V7 generate half)
+# ---------------------------------------------------------------------------
+
+
+class StructuredExtractor:
+    """Actor: client + schema prepared once per actor; per-batch
+    generate -> validate -> retry(<=max_retries) -> failure-as-data."""
+
+    def __init__(self, *, target: pa.DataType = COMPREHENSIVE_INVOICE_TYPE,
+                 provider: str = "fake", seed: int = 1234,
+                 max_retries: int = 2, text_col: str = "text"):
+        self.client = make_client(provider, seed)
+        self.target = target
+        self.max_retries = max_retries
+        self.text_col = text_col
+
+    def extract_one(self, text: str) -> tuple[dict | None, bool, int, list[str]]:
+        prompt = build_prompt(self.target, text)
+        errors: list[str] = []
+        for attempt in range(1, self.max_retries + 2):
+            raw = self.client.generate(prompt)
+            normalized, ok, errs = validate_record(raw, self.target)
+            if ok:
+                return normalized, True, attempt, []
+            errors = errs
+            prompt = (
+                prompt + "\n\nREPAIR: previous output failed validation: "
+                + "; ".join(errs[:3])
+            )
+        return None, False, self.max_retries + 1, errors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas, valids, attempts, errors = [], [], [], []
+        for text in batch[self.text_col].to_pylist():
+            data, ok, n, errs = self.extract_one(text or "")
+            datas.append(
+                json.dumps(data, sort_keys=True, ensure_ascii=False)
+                if data is not None else ""
+            )
+            valids.append(ok)
+            attempts.append(n)
+            errors.append(errs)
+        return (
+            batch.append_column("data", pa.array(datas, pa.large_string()))
+            .append_column("valid", pa.array(valids, pa.bool_()))
+            .append_column("n_attempts", pa.array(attempts, pa.int32()))
+            .append_column("errors", pa.array(errors, pa.list_(pa.string())))
+        )

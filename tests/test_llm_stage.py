@@ -1,0 +1,90 @@
+"""Structured-extraction stage (stages/llm_stage.py): prompt builder,
+image message formatter, provider factory, retry/failure semantics."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from extract_kit_ray.schemas import COMPREHENSIVE_INVOICE_TYPE
+from extract_kit_ray.stages.llm_stage import (
+    FakeLlmClient,
+    StructuredExtractor,
+    build_prompt,
+    format_image_message,
+    make_client,
+)
+
+
+def _invoice_text(doc_id: int) -> str:
+    return (
+        f"INVOICE\nInvoice No: INV-{doc_id:08d}\n"
+        f"Date: 2024-{1 + doc_id % 12:02d}-{1 + doc_id % 28:02d}\n"
+        f"Total: {doc_id % 9000 + 100}.{doc_id % 100:02d} EUR"
+    )
+
+
+def test_prompt_contains_schema_fields_and_document():
+    prompt = build_prompt(COMPREHENSIVE_INVOICE_TYPE, "DOC BODY")
+    assert "invoice_details.invoice_number" in prompt
+    assert "financial_totals.total_amount" in prompt
+    assert prompt.endswith("DOCUMENT:\nDOC BODY")
+
+
+def test_image_message_data_url():
+    msg = format_image_message(b"\x89PNG1234", "image/png")
+    assert msg["type"] == "image_url"
+    assert msg["image_url"]["url"].startswith("data:image/png;base64,")
+
+
+def test_unknown_provider_fails_loudly():
+    with pytest.raises(ValueError, match="unknown provider"):
+        make_client("gpt-42")
+
+
+def test_clean_doc_single_attempt():
+    ex = StructuredExtractor()
+    data, ok, attempts, errs = ex.extract_one(_invoice_text(1))
+    assert ok and attempts == 1 and errs == []
+    assert data["invoice_details"]["invoice_number"] == "INV-00000001"
+    assert data["financial_totals"]["total_amount"] == pytest.approx(101.01)
+
+
+def test_malformed_first_attempt_repairs_on_retry():
+    ex = StructuredExtractor()
+    # doc_id % 7 == 0 -> first generate returns truncated JSON
+    raw1 = FakeLlmClient().generate(build_prompt(COMPREHENSIVE_INVOICE_TYPE,
+                                                 _invoice_text(7)))
+    with pytest.raises(json.JSONDecodeError):
+        json.loads(raw1)
+    data, ok, attempts, _ = ex.extract_one(_invoice_text(7))
+    assert ok and attempts == 2
+    assert data["invoice_details"]["invoice_number"] == "INV-00000007"
+
+
+def test_persistent_schema_failure_is_data():
+    ex = StructuredExtractor()
+    # doc_id % 13 == 0 -> confidence_score 1.5 on every attempt
+    data, ok, attempts, errs = ex.extract_one(_invoice_text(13))
+    assert not ok and data is None
+    assert attempts == 3  # 1 + max_retries
+    assert any("confidence_score" in e for e in errs)
+
+
+def test_batch_stage_schema(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 7, 13], pa.int64()),
+         "text": pa.array([_invoice_text(i) for i in (1, 7, 13)], pa.string())}
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(StructuredExtractor, batch_format="pyarrow", concurrency=2)
+        .take_all()
+    )
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["valid"] and by_id[1]["n_attempts"] == 1
+    assert by_id[7]["valid"] and by_id[7]["n_attempts"] == 2
+    assert not by_id[13]["valid"] and by_id[13]["n_attempts"] == 3
+    assert by_id[13]["data"] == "" and by_id[13]["errors"]
