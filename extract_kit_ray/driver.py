@@ -627,27 +627,48 @@ def q_events_hourly(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+_USER_BUCKETS = 32
+
+
+def _add_user_bucket(batch: pa.Table) -> pa.Table:
+    """user_id % K bucket column: the per-key shuffle key becomes a
+    bucket key, so downstream map_groups pays per-BUCKET Python
+    overhead instead of per-user (round-1 verdict #6).  Bucket size is
+    ~rows/K — size K so that fits a worker heap."""
+    ids = batch["user_id"].to_numpy()
+    return batch.append_column(
+        "bucket", pa.array((ids % _USER_BUCKETS).astype(np.int32))
+    )
+
+
 def q_user_event_gaps(sf_dir: str) -> "ray.data.Dataset":
     """Per-key ordered window op (lag/as-of family): events shuffle on
-    user_id, sort WITHIN the group only (never a global sort, SURVEY.md
-    O1), emit max inter-event gap per user."""
+    user-hash BUCKETS; within the bucket everything is one vectorized
+    pandas pass (sort + boundary-masked diff + groupby max), never
+    per-user Python."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    bucketed = ds.map_batches(_add_user_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
-    def gaps(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        # normalize to epoch MICROseconds regardless of pandas' datetime64
-        # resolution (ns vs us depends on the arrow->pandas conversion)
-        us = g["ts"].astype("datetime64[us]").astype("int64")
-        diffs = us.diff().dropna()
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "max_gap_us": [int(diffs.max()) if len(diffs) else 0],
-            }
+    def gaps_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # epoch MICROseconds regardless of pandas' datetime64 resolution
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = us[1:] - us[:-1]
+        gap[new_user] = 0  # gaps never cross users; single-event users -> 0
+        out = (
+            pd.DataFrame({"user_id": uid, "gap": gap})
+            .groupby("user_id", sort=False)
+            .agg(n_events=("gap", "size"), max_gap_us=("gap", "max"))
+            .reset_index()
         )
+        return out
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(gaps_bucket, batch_format="pandas")
 
 
 def q_top_docs_per_source(sf_dir: str) -> "ray.data.Dataset":
@@ -753,31 +774,41 @@ _SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h (median inter-event gap ~7.3h)
 
 def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     """Gap-based sessionization (training-data-pipeline staple): events
-    shuffle on user_id; within the group, sort by (ts, event_id), break a
-    session when the gap exceeds 12h, roll up per session.  The shuffle
-    key is the session's natural partition; groups are per-user event
-    lists, bounded by per-user activity."""
+    shuffle on user BUCKETS; inside the bucket one vectorized pass
+    computes per-user session numbers (boundary-masked cumsum — no
+    per-user Python) and rolls up per (user, session)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
     )
+    bucketed = ds.map_batches(_add_user_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        new_sess = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new_sess[1:] = (np.diff(us) > _SESSION_GAP_US).astype(np.int64)
-        session_no = np.cumsum(new_sess)
+        uid = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.zeros(len(g), dtype=bool)
+        gap_break[1:] = (us[1:] - us[:-1]) > _SESSION_GAP_US
+        new_sess = new_user | gap_break
+        cs = np.cumsum(new_sess.astype(np.int64))
+        # per-user restart: subtract the cumsum value at each user's
+        # first row (propagated forward), +1 -> 1-based session_no
+        start_cs = np.where(new_user, cs, 0)
+        start_cs = np.maximum.accumulate(start_cs)
+        session_no = cs - start_cs + 1
         value_cents = cents(g["value"].to_numpy())
-        out = pd.DataFrame(
-            {"session_no": session_no, "cents": value_cents}
-        ).groupby("session_no", sort=True).agg(
-            n_events=("cents", "size"), sum_value_cents=("cents", "sum")
-        ).reset_index()
-        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        out = (
+            pd.DataFrame({"user_id": uid, "session_no": session_no,
+                          "cents": value_cents})
+            .groupby(["user_id", "session_no"], sort=False)
+            .agg(n_events=("cents", "size"), sum_value_cents=("cents", "sum"))
+            .reset_index()
+        )
         return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(sessions_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -108,8 +108,8 @@ def parse_page_batch(batch: pa.Table) -> pa.Table:
 
 
 def assemble_group(group: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
-    """``groupby("url").map_groups`` reassembly: sort pages within the
-    group, concatenate with prefix-sum offsets, one output row per doc."""
+    """Single-url reassembly (kept as the reference implementation for
+    tests; the pipeline uses the bucketed :func:`assemble_bucket`)."""
     import pandas as pd
 
     url = group["url"].iloc[0]
@@ -135,9 +135,66 @@ def assemble_group(group: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
     )
 
 
-def extract_layout_fanout(ds, *, batch_size: int = 128):
-    """Full fan-out pipeline over a pages Dataset:
-    flat-map to page rows -> parse pages -> groupby(url) reassembly."""
+def assemble_bucket(df: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+    """Bucket-level vectorized reassembly: one pandas groupby over ALL
+    urls in the bucket instead of one Ray map_groups invocation per
+    document.
+
+    At 10^9 documents, per-group Python overhead (one DataFrame build +
+    one function call per doc) dominated the round-1 reassembly; with
+    url-hash buckets the per-group cost is paid once per BUCKET and the
+    per-url work is pandas' C-level groupby join."""
+    import pandas as pd
+
+    df = df.sort_values(["url", "page_no"], kind="mergesort")
+    first = df.drop_duplicates("url", keep="first").set_index("url")
+    ok = df[df["page_no"] > 0]
+    texts = ok.groupby("url", sort=False)["page_text"].agg("\n\n".join)
+    counts = ok.groupby("url", sort=False)["page_no"].size()
+    urls = first.index
+    text_s = texts.reindex(urls).fillna("")
+    n_pages = counts.reindex(urls).fillna(0).astype("int64")
+    valid = urls.isin(texts.index)
+    return pd.DataFrame(
+        {
+            "url": urls.to_numpy(),
+            "warc_ts": first["warc_ts"].to_numpy(),
+            "lang": first["lang"].to_numpy(),
+            "n_pages": n_pages.to_numpy(),
+            "text": text_s.to_numpy(),
+            "valid": valid,
+            "errors": [
+                [] if v else ["not a parseable layout payload"] for v in valid
+            ],
+        }
+    )
+
+
+DEFAULT_REASSEMBLY_BUCKETS = 64
+
+
+def _add_url_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    from ..functions.hashing import hash64
+
+    buckets = [hash64(u, seed=11) % n_buckets for u in batch["url"].to_pylist()]
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def extract_layout_fanout(ds, *, batch_size: int = 128,
+                          num_buckets: int = DEFAULT_REASSEMBLY_BUCKETS):
+    """Full fan-out pipeline over a pages Dataset: flat-map to page rows
+    -> parse pages -> bucketed groupby reassembly.
+
+    Partitioning: the shuffle keys on hash(url) % num_buckets, so a
+    bucket holds ~corpus/num_buckets pages — size num_buckets so that
+    fits a worker heap (it bounds reassembly memory the same way the
+    old per-url grouping did, while cutting per-group Python overhead
+    by the mean docs-per-bucket factor)."""
     pages = ds.map_batches(fanout_layout_batch, batch_format="pyarrow", batch_size=batch_size)
     parsed = pages.map_batches(parse_page_batch, batch_format="pyarrow", batch_size=batch_size)
-    return parsed.groupby("url").map_groups(assemble_group, batch_format="pandas")
+    bucketed = parsed.map_batches(
+        _add_url_bucket, fn_kwargs={"n_buckets": num_buckets},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = bucketed.groupby("bucket").map_groups(assemble_bucket, batch_format="pandas")
+    return out
