@@ -42,6 +42,33 @@ def read_pages(path: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, columns=PAGES_READ_COLUMNS)
 
 
+# payloads above this route to their own single-row blocks (M24 analog:
+# the reference's oversize-payload side route, api/validation.ts:57-59)
+OVERSIZE_THRESHOLD_BYTES = 1 << 20
+
+
+def _route_oversize(batch, threshold: int, normal_rows: int):
+    """Generator stage: split a batch into blocks so each OVERSIZE
+    payload becomes its own single-row block while normal rows stay in
+    ``normal_rows``-row blocks.
+
+    One pass, no second read: the alternative (two ``filter`` branches
+    unioned) re-executes the upstream read per branch — 2x I/O at
+    100 TB.  Downstream the extractor runs with batch_size=None (batch
+    = block), so a 5 MB monster occupies one actor task alone instead
+    of stalling 63 neighbours in its batch."""
+    import pyarrow.compute as pc
+
+    lens = pc.fill_null(pc.binary_length(batch["html"]), 0)
+    mask = pc.greater(lens, threshold)
+    big = batch.filter(mask)
+    normal = batch.filter(pc.invert(mask))
+    for i in range(big.num_rows):
+        yield big.slice(i, 1)
+    for s in range(0, normal.num_rows, normal_rows):
+        yield normal.slice(s, normal_rows)
+
+
 def extract_pages(
     ds: "ray.data.Dataset",
     *,
@@ -49,16 +76,31 @@ def extract_pages(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
     num_cpus: float = 1,
+    oversize_threshold: int | None = OVERSIZE_THRESHOLD_BYTES,
 ) -> "ray.data.Dataset":
-    """pages Dataset -> EXTRACTED_SCHEMA Dataset (streaming, actor pool)."""
+    """pages Dataset -> EXTRACTED_SCHEMA Dataset (streaming, actor pool).
+
+    ``oversize_threshold`` (bytes) activates the skew side-route: bigger
+    payloads are isolated into single-row blocks pre-extraction.  Pass
+    None to disable (tests of raw batching behavior)."""
     if concurrency is None:
         concurrency = _default_concurrency()
+    extractor_batch_size: int | None = batch_size
+    if oversize_threshold is not None:
+        ds = ds.map_batches(
+            _route_oversize,
+            fn_kwargs={"threshold": oversize_threshold, "normal_rows": batch_size},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+        extractor_batch_size = None  # batch = routed block
     return ds.map_batches(
         HtmlExtractor,
         fn_constructor_kwargs={"strip_boilerplate": strip_boilerplate},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=batch_size,
+        batch_size=extractor_batch_size,
         concurrency=concurrency,
         num_cpus=num_cpus,
     )

@@ -141,3 +141,62 @@ def test_flagship_skewed_corpus(ray_session):
         r = by_url[u]
         assert r["valid"], r["errors"]
         assert len(r["text"]) > 0
+
+
+def test_oversize_route_block_shapes():
+    """_route_oversize isolates >threshold payloads into single-row
+    blocks; normal rows stay in normal_rows-row blocks."""
+    import pyarrow as pa
+
+    from extract_kit_ray.pipelines.flagship import _route_oversize
+
+    payloads = [b"x" * 10] * 7 + [b"y" * 5000, b"z" * 6000]
+    batch = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(9)]),
+            "warc_ts": pa.array(list(range(9)), pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": pa.array(["en"] * 9),
+        }
+    )
+    blocks = list(_route_oversize(batch, threshold=1000, normal_rows=4))
+    assert [b.num_rows for b in blocks] == [1, 1, 4, 3]
+    assert blocks[0]["url"][0].as_py() == "u7"
+    assert blocks[1]["url"][0].as_py() == "u8"
+    # nothing lost, nothing duplicated
+    urls = [u for b in blocks for u in b["url"].to_pylist()]
+    assert sorted(urls) == sorted(batch["url"].to_pylist())
+
+
+def test_oversize_route_5mb_page_same_outputs(ray_session):
+    """A 5 MB page flows through the side route with outputs identical
+    to inline extraction (M24 analog: no batch-stall, same results)."""
+    import pyarrow as pa
+    import ray.data
+
+    from extract_kit_ray.functions.extract import extract_document
+    from extract_kit_ray.fixtures import make_html_page
+    from extract_kit_ray.pipelines.flagship import extract_pages
+
+    payloads = [make_html_page(i).encode() for i in range(40)]
+    big = make_html_page(999, repeat_body=4000).encode()
+    assert len(big) > 5_000_000
+    payloads.append(big)
+    urls = [f"https://s.example/{i}" for i in range(41)]
+    tbl = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array(list(range(41)), pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "lang": pa.array(["en"] * 41),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    rows = extract_pages(ds, concurrency=2, batch_size=16,
+                         oversize_threshold=1 << 20).take_all()
+    assert len(rows) == 41
+    by_url = {r["url"]: r for r in rows}
+    for url, payload in zip(urls, payloads):
+        inline = extract_document(payload, url)
+        assert by_url[url]["text"] == inline["text"], url
+        assert by_url[url]["valid"] == inline["valid"]
