@@ -72,6 +72,58 @@ def resize_plan(width: int, height: int, model: str = "default") -> tuple[int, i
     return max(1, int(width * scale)), max(1, int(height * scale))
 
 
+def center_crop_plan(width: int, height: int, target_aspect: float = 1.0) -> tuple[int, int, int, int]:
+    """Center-crop plan (x, y, w, h) to a target aspect ratio
+    (image-optimization.ts:103-115 center-crop role, M15).  Pure
+    geometry — the pixel work happens in the (stubbed) codec."""
+    if width <= 0 or height <= 0:
+        return (0, 0, max(0, width), max(0, height))
+    current = width / height
+    if current > target_aspect:  # too wide: crop x
+        w = max(1, int(round(height * target_aspect)))
+        return ((width - w) // 2, 0, w, height)
+    h = max(1, int(round(width / target_aspect)))
+    return (0, (height - h) // 2, width, h)
+
+
+# deterministic stand-ins for the Sharp enhance/encode constants
+# (image-optimization.ts:149-175): contrast stretch bounds + a JPEG
+# quality -> bytes-per-pixel estimate used by the stubbed encoder
+CONTRAST_LOW_P, CONTRAST_HIGH_P = 0.02, 0.98
+JPEG_QUALITY = 80
+_JPEG_BPP = {80: 0.25}  # empirical bytes/pixel at quality 80
+
+
+def contrast_enhance_params(pixel_min: int, pixel_max: int) -> tuple[float, float]:
+    """Linear contrast-stretch (gain, bias) mapping the observed pixel
+    range onto [0, 255] (image-optimization.ts:149-158 normalize role,
+    M17).  With the stub decode the observed range is derived from the
+    payload hash; the formula is the real one."""
+    lo, hi = float(pixel_min), float(pixel_max)
+    if hi <= lo:
+        return 1.0, 0.0
+    gain = 255.0 / (hi - lo)
+    return gain, -lo * gain
+
+
+def encode_metrics(original_size: int, target_w: int, target_h: int,
+                   quality: int = JPEG_QUALITY) -> dict:
+    """The reference's optimization metrics struct
+    (image-optimization.ts:160-175 -> G1 rollup): originalSize,
+    optimizedSize, compressionRatio.  optimizedSize is a deterministic
+    size MODEL (pixels x bytes-per-pixel at the quality) because the
+    encoder itself is stubbed; swapping in a real codec replaces only
+    the estimate with the actual byte length."""
+    optimized = max(1, int(target_w * target_h * _JPEG_BPP.get(quality, 0.25)))
+    ratio = (original_size / optimized) if optimized else 0.0
+    return {
+        "original_size": int(original_size),
+        "optimized_size": optimized,
+        "compression_ratio": float(round(ratio, 6)),
+        "quality": int(quality),
+    }
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode(stub) -> features + resize plan.
 
@@ -82,9 +134,18 @@ class MediaFeatureExtractor:
     def __init__(self, model: str = "default"):
         self.model = model
 
+    _METRICS_TYPE = pa.struct(
+        [
+            ("original_size", pa.int64()),
+            ("optimized_size", pa.int64()),
+            ("compression_ratio", pa.float64()),
+            ("quality", pa.int32()),
+        ]
+    )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, feats, valids, errors = [], [], [], [], []
-        t_w, t_h = [], []
+        t_w, t_h, metrics = [], [], []
         for payload in batch["payload"].to_pylist():
             try:
                 d = _decode(payload or b"")
@@ -94,6 +155,7 @@ class MediaFeatureExtractor:
                 w, h = resize_plan(d["width"], d["height"], self.model)
                 t_w.append(w)
                 t_h.append(h)
+                metrics.append(encode_metrics(len(payload or b""), w, h))
                 valids.append(True)
                 errors.append("")
             except ValueError as exc:
@@ -102,6 +164,7 @@ class MediaFeatureExtractor:
                 feats.append([0.0] * FEATURE_DIM)
                 t_w.append(-1)
                 t_h.append(-1)
+                metrics.append(encode_metrics(0, 0, 0))
                 valids.append(False)
                 errors.append(str(exc))
         return (
@@ -111,6 +174,7 @@ class MediaFeatureExtractor:
             .append_column("target_width", pa.array(t_w, pa.int32()))
             .append_column("target_height", pa.array(t_h, pa.int32()))
             .append_column("features", pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)))
+            .append_column("metrics", pa.array(metrics, self._METRICS_TYPE))
             .append_column("valid", pa.array(valids, pa.bool_()))
             .append_column("error", pa.array(errors, pa.string()))
         )

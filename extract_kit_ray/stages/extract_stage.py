@@ -61,16 +61,29 @@ def extracted_batch_from_rows(
 
 class HtmlExtractor:
     """``ds.map_batches(HtmlExtractor, batch_format="pyarrow",
-    concurrency=N, batch_size=B)`` — the flagship extraction actor."""
+    concurrency=N, batch_size=B)`` — the flagship extraction actor.
 
-    def __init__(self, strip_boilerplate: bool = True):
+    Carries per-stage structured metrics (A10): rows / failures /
+    wall-ms counted per batch, a JSON log line every ``emit_every``
+    batches (state/stagelog.py)."""
+
+    def __init__(self, strip_boilerplate: bool = True, emit_every: int = 50):
+        from ..state.stagelog import StageMetrics
+
         self.strip_boilerplate = strip_boilerplate
+        self.metrics = StageMetrics("extract", emit_every=emit_every)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extracted_batch_from_rows(
+        self.metrics.start_batch()
+        out = extracted_batch_from_rows(
             batch["url"].to_pylist(),
             batch["warc_ts"].to_pylist(),
             batch["lang"].to_pylist(),
             batch["html"].to_pylist(),
             strip_boilerplate=self.strip_boilerplate,
         )
+        import pyarrow.compute as pc
+
+        n_fail = out.num_rows - (pc.sum(pc.cast(out["valid"], pa.int32())).as_py() or 0)
+        self.metrics.end_batch(out.num_rows, n_fail)
+        return out

@@ -276,3 +276,58 @@ def test_extractor_plugin_protocol():
         plugins.unregister("broken")
     assert plugins.registered() == []
     assert extract_document(b"id,name\n1,a\n")["doc_kind"] != "csv"
+
+
+# --- multimodal plans + metrics (M15/M17/M18 analogs) ---------------------
+
+def test_center_crop_plan():
+    from extract_kit_ray.ops.multimodal import center_crop_plan
+
+    assert center_crop_plan(400, 200, 1.0) == (100, 0, 200, 200)
+    assert center_crop_plan(200, 400, 1.0) == (0, 100, 200, 200)
+    assert center_crop_plan(200, 200, 1.0) == (0, 0, 200, 200)
+    x, y, w, h = center_crop_plan(1920, 1080, 4 / 3)
+    assert (w / h) - 4 / 3 < 0.01 and x > 0 and y == 0
+
+
+def test_contrast_enhance_params():
+    from extract_kit_ray.ops.multimodal import contrast_enhance_params
+
+    gain, bias = contrast_enhance_params(50, 205)
+    assert gain * 50 + bias == 0.0
+    assert abs(gain * 205 + bias - 255.0) < 1e-9
+    assert contrast_enhance_params(100, 100) == (1.0, 0.0)
+
+
+def test_encode_metrics_struct():
+    from extract_kit_ray.ops.multimodal import encode_metrics
+
+    m = encode_metrics(100_000, 1024, 768)
+    assert m["original_size"] == 100_000
+    assert m["optimized_size"] == int(1024 * 768 * 0.25)
+    assert m["compression_ratio"] > 0
+    assert m["quality"] == 80
+
+
+def test_stage_metrics_counts_and_emits():
+    import json as _json
+    import logging
+
+    from extract_kit_ray.state.stagelog import StageMetrics, logger
+
+    records = []
+    h = logging.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    logger.addHandler(h)
+    logger.setLevel(logging.INFO)
+    try:
+        m = StageMetrics("teststage", emit_every=2)
+        for _ in range(4):
+            m.start_batch()
+            m.end_batch(10, n_failures=1)
+        assert m.rows == 40 and m.failures == 4 and m.batches == 4
+        assert len(records) == 2  # every 2 batches
+        payload = _json.loads(records[-1])
+        assert payload["stage"] == "teststage" and payload["rows"] == 40
+    finally:
+        logger.removeHandler(h)
