@@ -36,6 +36,7 @@ CORPUS_ROOT = "/tmp/ekray_bench"
 # queries worth timing at sf0.1 (subset of driver.QUERIES: one per family)
 BENCH_QUERIES = [
     "extract_html_roundtrip",
+    "extract_pdf_roundtrip",
     "exact_dedup_docs",
     "token_counts",
     "lang_rollup",
@@ -48,17 +49,99 @@ BENCH_QUERIES = [
     "top_docs_per_source",
     "chars_quantiles",
     "ann_topk",
-    "lsh_topk",
-    "ivf_topk",
+    "lsh_recall",
+    "ivf_recall",
     "minhash_dedup",
     "quality_signals",
     "fingerprints",
     "lang_id",
+    "structured_extract",
     "flagship_fixture",
     "domain_lineage",
     "schema_validate",
     "layout_fanout",
 ]
+
+# ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so
+# every ANN query there is pure pipeline overhead; this corpus is big
+# enough that scoring compute dominates and the bucketed paths can show
+# their speedup.  Mild cluster structure (100 centers, sigma=0.35) —
+# the realistic ANN regime, unlike the isotropic-random sf embeddings.
+ANN_N_VECS = int(os.environ.get("GRAFT_ANN_VECS", "500000"))
+ANN_N_QUERIES = int(os.environ.get("GRAFT_ANN_QUERIES", "1024"))
+ANN_DIM = 64
+
+
+def ensure_ann_corpus(ray, n: int = ANN_N_VECS, dim: int = ANN_DIM,
+                      seed: int = 7) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(CORPUS_ROOT, f"emb_n{n}_d{dim}_s{seed}")
+    marker = os.path.join(path, "_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((100, dim)).astype(np.float32)
+    rows_per_file = 20000
+    for part, start in enumerate(range(0, n, rows_per_file)):
+        stop = min(start + rows_per_file, n)
+        labels = rng.integers(0, 100, size=stop - start)
+        mat = centers[labels] + 0.35 * rng.standard_normal(
+            (stop - start, dim)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(start, stop), pa.int64()),
+            "embedding": pa.array(
+                [r for r in mat.astype(np.float32)],
+                pa.list_(pa.float32())),
+        })
+        pq.write_table(tbl, os.path.join(path, f"emb-{part:05d}.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"{n} {dim} {seed}\n")
+    return path
+
+
+def run_ann_scale(ray) -> dict:
+    """Exact vs LSH vs IVF wall time + recall@10 at ANN_N_VECS vectors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from extract_kit_ray.ops.similarity import (
+        brute_force_topk, ivf_topk, lsh_topk)
+
+    path = ensure_ann_corpus(ray)
+    first = pq.read_table(
+        os.path.join(path, "emb-00000.parquet")).slice(0, ANN_N_QUERIES)
+    queries = np.asarray(first["embedding"].to_pylist(), dtype=np.float32)
+
+    out = {}
+    results = {}
+    sample = np.asarray(
+        pq.read_table(os.path.join(path, "emb-00000.parquet"))
+        ["embedding"].to_pylist(), dtype=np.float32)[:4096]
+    variants = {
+        "ann_brute": lambda ds: brute_force_topk(ds, queries, k=10, concurrency=8),
+        "ann_lsh": lambda ds: lsh_topk(ds, queries, k=10, n_bits=8,
+                                       probe_bits=2, concurrency=8),
+        "ann_ivf": lambda ds: ivf_topk(ds, queries, k=10, n_lists=64,
+                                       n_probe=8, train_sample=sample,
+                                       concurrency=8),
+    }
+    for name, fn in variants.items():
+        t0 = time.perf_counter()
+        results[name] = fn(ray.data.read_parquet(path))
+        out[name] = round(time.perf_counter() - t0, 3)
+    exact = {q: set(g["vec_id"]) for q, g in results["ann_brute"].groupby("query_id")}
+    for name in ("ann_lsh", "ann_ivf"):
+        hits = total = 0
+        for q, g in results[name].groupby("query_id"):
+            hits += len(set(g["vec_id"]) & exact[q])
+            total += len(exact[q])
+        out[f"{name}_recall"] = round(hits / total, 3) if total else 0.0
+    return out
 
 
 def _init_ray(num_cpus: int):
@@ -250,6 +333,8 @@ def main() -> None:
     ray = _init_ray(num_cpus)
     headline = run_headline(ray, args.docs)
     queries = {} if args.headline_only else run_queries(sf_dir)
+    if not args.headline_only:
+        queries.update(run_ann_scale(ray))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "flagship_extract_wall_sec",

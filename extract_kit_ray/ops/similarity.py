@@ -61,22 +61,66 @@ def _col_numpy(batch: pa.Table, col: str, dtype) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
 
 
-def _topk_rows(scores: np.ndarray, keys: np.ndarray, qids: np.ndarray, k: int) -> pa.Table:
-    """(n_q, n_vec) score block -> flat per-query top-k rows, no Python
-    loop over entries: argpartition + take_along_axis."""
+def _topk_arrays(scores: np.ndarray, keys: np.ndarray, qids: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_q, n_vec) score block -> flat per-query top-k (qid, key, score)
+    arrays, no Python loop over entries: argpartition + take_along_axis."""
     kk = min(k, scores.shape[1])
     if kk == 0 or scores.shape[0] == 0:
-        return pa.table({"query_id": pa.array([], pa.int32()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.float64())})
+        return (np.empty(0, np.int32), np.empty(0, np.int64), np.empty(0, np.float64))
     idx = np.argpartition(-scores, kth=kk - 1, axis=1)[:, :kk]
+    return (
+        np.repeat(qids.astype(np.int32), kk),
+        keys[idx.ravel()].astype(np.int64),
+        np.take_along_axis(scores, idx, axis=1).ravel().astype(np.float64),
+    )
+
+
+def _rows_table(parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]]) -> pa.Table:
+    """ONE Arrow table per batch from per-bucket numpy parts — building
+    a pa.Table per bucket dominated wall time when many buckets share a
+    batch (multi-probe LSH)."""
+    if not parts:
+        parts = [(np.empty(0, np.int32), np.empty(0, np.int64), np.empty(0, np.float64))]
     return pa.table(
         {
-            "query_id": pa.array(np.repeat(qids.astype(np.int32), kk)),
-            "vec_id": pa.array(keys[idx.ravel()].astype(np.int64)),
-            "score": pa.array(
-                np.take_along_axis(scores, idx, axis=1).ravel().astype(np.float64)
-            ),
+            "query_id": pa.array(np.concatenate([p[0] for p in parts])),
+            "vec_id": pa.array(np.concatenate([p[1] for p in parts])),
+            "score": pa.array(np.concatenate([p[2] for p in parts])),
+        }
+    )
+
+
+def _topk_rows(scores: np.ndarray, keys: np.ndarray, qids: np.ndarray, k: int) -> pa.Table:
+    return _rows_table([_topk_arrays(scores, keys, qids, k)])
+
+
+def _batch_topk_reduce(parts: list, k: int) -> pa.Table:
+    """Per-bucket parts -> per-QUERY top-k for the whole batch.
+
+    A query probing B buckets emits B*k candidate rows per batch; left
+    unreduced, multi-probe flooded the final combine with
+    buckets-per-batch x queries x k rows (9.5M at the 500k-vec bench —
+    the actual reason probe_bits=2 lost to brute force).  One vectorized
+    lexsort here caps every batch's output at n_queries x k rows."""
+    tbl = _rows_table(parts)
+    if tbl.num_rows == 0:
+        return tbl
+    qid = tbl["query_id"].to_numpy()
+    score = tbl["score"].to_numpy()
+    vec = tbl["vec_id"].to_numpy()
+    order = np.lexsort((vec, -score, qid))  # by qid, then score desc, vec asc
+    qs = qid[order]
+    # rank within query: position minus first-position-of-query
+    first = np.concatenate(([0], np.flatnonzero(qs[1:] != qs[:-1]) + 1))
+    starts = np.repeat(first, np.diff(np.concatenate((first, [len(qs)]))))
+    rank = np.arange(len(qs)) - starts
+    keep = order[rank < k]
+    return pa.table(
+        {
+            "query_id": pa.array(qid[keep]),
+            "vec_id": pa.array(vec[keep]),
+            "score": pa.array(score[keep]),
         }
     )
 
@@ -217,8 +261,16 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, n_bits: int = 12,
     class ProbeScorer:
         def __init__(self):
             self.planes = ray.get(planes_ref)
-            self.queries = ray.get(queries_ref)
-            self.probe = ray.get(probe_ref)
+            queries_local = ray.get(queries_ref)
+            probe = ray.get(probe_ref)
+            # per-bucket query submatrix + qid vector, PRECOMPUTED once
+            # per actor: the per-batch fancy-index copy
+            # (queries[qids], one per probed bucket per batch) dominated
+            # multi-probe wall time
+            self.bucket_q = {
+                b: (queries_local[qids], np.asarray(qids, dtype=np.int64))
+                for b, qids in probe.items()
+            }
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_batch_matrix(batch, vec_col))
@@ -226,15 +278,14 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, *, n_bits: int = 12,
             buckets = lsh_bucket_ids(mat, self.planes)
             parts = []
             for bucket in np.unique(buckets):
-                qids = self.probe.get(int(bucket))
-                if not qids:
+                entry = self.bucket_q.get(int(bucket))
+                if entry is None:
                     continue
+                qmat, qids = entry
                 mask = buckets == bucket
-                scores = self.queries[qids] @ mat[mask].T
-                parts.append(_topk_rows(scores, keys[mask], np.asarray(qids), k))
-            if not parts:
-                return _topk_rows(np.empty((0, 0)), keys[:0], np.empty(0, np.int64), k)
-            return pa.concat_tables(parts)
+                scores = qmat @ mat[mask].T
+                parts.append(_topk_arrays(scores, keys[mask], qids, k))
+            return _batch_topk_reduce(parts, k)
 
     partials = ds.map_batches(ProbeScorer, batch_format="pyarrow",
                               zero_copy_batch=True,
@@ -328,8 +379,14 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, n_lists: int = 16,
     class ListScorer:
         def __init__(self):
             self.cents = ray.get(cents_ref)
-            self.queries = ray.get(queries_ref)
-            self.probe = ray.get(probe_ref)
+            queries_local = ray.get(queries_ref)
+            probe = ray.get(probe_ref)
+            # precomputed per-list query submatrices (same rationale as
+            # ProbeScorer)
+            self.list_q = {
+                li: (queries_local[qids], np.asarray(qids, dtype=np.int64))
+                for li, qids in probe.items()
+            }
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_batch_matrix(batch, vec_col))
@@ -337,15 +394,14 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, n_lists: int = 16,
             lists = np.argmax(mat @ self.cents.T, axis=1).astype(np.int32)
             parts = []
             for li in np.unique(lists):
-                qids = self.probe.get(int(li))
-                if not qids:
+                entry = self.list_q.get(int(li))
+                if entry is None:
                     continue
+                qmat, qids = entry
                 mask = lists == li
-                scores = self.queries[qids] @ mat[mask].T
-                parts.append(_topk_rows(scores, keys[mask], np.asarray(qids), k))
-            if not parts:
-                return _topk_rows(np.empty((0, 0)), keys[:0], np.empty(0, np.int64), k)
-            return pa.concat_tables(parts)
+                scores = qmat @ mat[mask].T
+                parts.append(_topk_arrays(scores, keys[mask], qids, k))
+            return _batch_topk_reduce(parts, k)
 
     partials = ds.map_batches(ListScorer, batch_format="pyarrow",
                               zero_copy_batch=True,
