@@ -72,18 +72,20 @@ def resize_plan(width: int, height: int, model: str = "default") -> tuple[int, i
     return max(1, int(width * scale)), max(1, int(height * scale))
 
 
-def center_crop_plan(width: int, height: int, target_aspect: float = 1.0) -> tuple[int, int, int, int]:
-    """Center-crop plan (x, y, w, h) to a target aspect ratio
-    (image-optimization.ts:103-115 center-crop role, M15).  Pure
+def center_crop_plan(width: int, height: int, crop_size: float) -> tuple[int, int, int, int] | None:
+    """Center-crop plan (left, top, w, h) keeping ``crop_size`` percent
+    of each dimension (image-optimization.ts:103-115, M15): applies
+    only for 0 < crop_size < 100 AND both cropped dims > 100 px
+    (reference guard); otherwise returns None (no crop).  Pure
     geometry — the pixel work happens in the (stubbed) codec."""
-    if width <= 0 or height <= 0:
-        return (0, 0, max(0, width), max(0, height))
-    current = width / height
-    if current > target_aspect:  # too wide: crop x
-        w = max(1, int(round(height * target_aspect)))
-        return ((width - w) // 2, 0, w, height)
-    h = max(1, int(round(width / target_aspect)))
-    return (0, (height - h) // 2, width, h)
+    if not (crop_size and 0 < crop_size < 100):
+        return None
+    pct = crop_size / 100.0
+    w = int(width * pct)
+    h = int(height * pct)
+    if w <= 100 or h <= 100:
+        return None
+    return ((width - w) // 2, (height - h) // 2, w, h)
 
 
 # deterministic stand-ins for the Sharp enhance/encode constants

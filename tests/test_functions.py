@@ -281,13 +281,18 @@ def test_extractor_plugin_protocol():
 # --- multimodal plans + metrics (M15/M17/M18 analogs) ---------------------
 
 def test_center_crop_plan():
+    """image-optimization.ts:103-115 semantics: keep crop_size% of each
+    dim, centered; applies only for 0<crop_size<100 and cropped dims
+    both > 100 px."""
     from extract_kit_ray.ops.multimodal import center_crop_plan
 
-    assert center_crop_plan(400, 200, 1.0) == (100, 0, 200, 200)
-    assert center_crop_plan(200, 400, 1.0) == (0, 100, 200, 200)
-    assert center_crop_plan(200, 200, 1.0) == (0, 0, 200, 200)
-    x, y, w, h = center_crop_plan(1920, 1080, 4 / 3)
-    assert (w / h) - 4 / 3 < 0.01 and x > 0 and y == 0
+    assert center_crop_plan(1000, 800, 50) == (250, 200, 500, 400)
+    assert center_crop_plan(1000, 800, 80) == (100, 80, 800, 640)
+    # guard: cropped dim <= 100 px -> no crop
+    assert center_crop_plan(150, 800, 50) is None
+    # out-of-range crop_size -> no crop
+    assert center_crop_plan(1000, 800, 0) is None
+    assert center_crop_plan(1000, 800, 100) is None
 
 
 def test_contrast_enhance_params():
