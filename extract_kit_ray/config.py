@@ -1,0 +1,91 @@
+"""Job-level option validation (SURVEY.md M23): the reference's Zod
+request schema (packages/pdf-processor/src/api/validation.ts:21-47)
+re-expressed as plan-time config validation — enums, ranged numbers,
+defaults.  Runs once at pipeline build, never per row.
+"""
+
+from __future__ import annotations
+
+PROVIDERS = ("scaleway", "ollama", "mistral", "custom")
+DOCUMENT_TYPES = ("invoice", "receipt", "basic", "custom")
+MAX_PDF_BYTES = 50 * 1024 * 1024  # validation.ts:57-59
+
+_DEFAULTS = {
+    "provider": "scaleway",
+    "query": "*",
+    "tablesOnly": False,
+    "enhanceContrast": True,
+    "targetQuality": 95,
+    "debug": False,
+}
+
+
+def validate_extract_options(options: dict | None) -> tuple[bool, str | None, dict | None]:
+    """Validate + default an extract-options dict.
+
+    Returns (valid, error, data) — the reference's
+    ``validateExtractRequest`` contract.  Checks (validation.ts:21-30):
+    provider/documentType enums, cropSize in [10, 100], targetQuality in
+    [70, 100], boolean flags, string model/query."""
+    opts = dict(options or {})
+    out = dict(_DEFAULTS)
+
+    def fail(msg: str) -> tuple[bool, str, None]:
+        return False, msg, None
+
+    provider = opts.pop("provider", out["provider"])
+    if provider not in PROVIDERS:
+        return fail(f"provider must be one of {PROVIDERS}, got {provider!r}")
+    out["provider"] = provider
+
+    if "model" in opts:
+        model = opts.pop("model")
+        if not isinstance(model, str):
+            return fail("model must be a string")
+        out["model"] = model
+
+    query = opts.pop("query", out["query"])
+    if not isinstance(query, str):
+        return fail("query must be a string")
+    out["query"] = query
+
+    if "cropSize" in opts:
+        crop = opts.pop("cropSize")
+        if isinstance(crop, bool) or not isinstance(crop, (int, float)):
+            return fail("cropSize must be a number")
+        if not (10 <= crop <= 100):
+            return fail(f"cropSize must be in [10, 100], got {crop}")
+        out["cropSize"] = crop
+
+    if "documentType" in opts:
+        dt = opts.pop("documentType")
+        if dt not in DOCUMENT_TYPES:
+            return fail(f"documentType must be one of {DOCUMENT_TYPES}, got {dt!r}")
+        out["documentType"] = dt
+
+    quality = opts.pop("targetQuality", out["targetQuality"])
+    if isinstance(quality, bool) or not isinstance(quality, (int, float)):
+        return fail("targetQuality must be a number")
+    if not (70 <= quality <= 100):
+        return fail(f"targetQuality must be in [70, 100], got {quality}")
+    out["targetQuality"] = quality
+
+    for flag in ("tablesOnly", "enhanceContrast", "debug"):
+        val = opts.pop(flag, out[flag])
+        if not isinstance(val, bool):
+            return fail(f"{flag} must be a boolean")
+        out[flag] = val
+
+    if opts:
+        return fail(f"unknown options: {sorted(opts)}")
+    return True, None, out
+
+
+def validate_pdf_payload(payload: bytes, filename: str = "") -> tuple[bool, str | None]:
+    """The upload gate (validation.ts:52-64): must look like a PDF (magic
+    or .pdf name) and stay under 50 MB."""
+    if not (payload[:4] == b"%PDF" or filename.lower().endswith(".pdf")):
+        return False, "file must be a PDF"
+    if len(payload) > MAX_PDF_BYTES:
+        return False, "PDF file must not exceed 50MB"
+    return True, None

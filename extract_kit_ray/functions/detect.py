@@ -118,6 +118,30 @@ def is_supported_file_type(mimetype: str | None, extension: str | None) -> bool:
     return False
 
 
+def enhance_stream_info(buffer: bytes, base_info: dict | None = None) -> dict:
+    """Merged stream info (SURVEY.md M4, file-detector.ts:159-198):
+    magic-byte detection fills missing mime/extension, then each of
+    mime<->extension guesses the other, then filename falls out of
+    local_path.  Caller-provided fields always win (same precedence as
+    the reference)."""
+    info = {"mimetype": None, "extension": None, "filename": None,
+            "local_path": None}
+    info.update({k: v for k, v in (base_info or {}).items() if v})
+    detected = detect_file_type(buffer)
+    if detected is not None:
+        if not info["mimetype"]:
+            info["mimetype"] = detected[0]
+        if not info["extension"]:
+            info["extension"] = detected[1]
+    if info["extension"] and not info["mimetype"]:
+        info["mimetype"] = guess_mime_from_extension(info["extension"])
+    if info["mimetype"] and not info["extension"]:
+        info["extension"] = guess_extension_from_mime(info["mimetype"])
+    if info["local_path"] and not info["filename"]:
+        info["filename"] = info["local_path"].rsplit("/", 1)[-1] or info["local_path"]
+    return info
+
+
 # ---------------------------------------------------------------------------
 # document-kind router for the Ray pipeline (SURVEY.md M6)
 # ---------------------------------------------------------------------------

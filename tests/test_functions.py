@@ -336,3 +336,60 @@ def test_stage_metrics_counts_and_emits():
         assert payload["stage"] == "teststage" and payload["rows"] == 40
     finally:
         logger.removeHandler(h)
+
+
+# --- M23 option validation + M4 stream-info enricher ----------------------
+
+def test_validate_extract_options_defaults_and_ranges():
+    from extract_kit_ray.config import validate_extract_options
+
+    ok, err, data = validate_extract_options({})
+    assert ok and err is None
+    assert data["provider"] == "scaleway" and data["query"] == "*"
+    assert data["targetQuality"] == 95 and data["enhanceContrast"] is True
+
+    ok, err, _ = validate_extract_options({"cropSize": 5})
+    assert not ok and "cropSize" in err
+    ok, err, _ = validate_extract_options({"targetQuality": 60})
+    assert not ok and "targetQuality" in err
+    ok, err, _ = validate_extract_options({"provider": "openai"})
+    assert not ok and "provider" in err
+    ok, err, _ = validate_extract_options({"documentType": "letter"})
+    assert not ok and "documentType" in err
+    ok, err, _ = validate_extract_options({"bogus": 1})
+    assert not ok and "unknown options" in err
+
+    ok, _, data = validate_extract_options(
+        {"cropSize": 50, "targetQuality": 80, "documentType": "receipt",
+         "provider": "mistral", "model": "pixtral", "debug": True})
+    assert ok and data["cropSize"] == 50 and data["documentType"] == "receipt"
+
+
+def test_validate_pdf_payload_gate():
+    from extract_kit_ray.config import validate_pdf_payload
+
+    assert validate_pdf_payload(b"%PDF-1.4 x") == (True, None)
+    assert validate_pdf_payload(b"nope", "doc.PDF") == (True, None)
+    ok, err = validate_pdf_payload(b"nope", "doc.txt")
+    assert not ok and "PDF" in err
+    ok, err = validate_pdf_payload(b"%PDF" + b"0" * (50 * 1024 * 1024), "a.pdf")
+    assert not ok and "50MB" in err
+
+
+def test_enhance_stream_info_merges():
+    from extract_kit_ray.functions.detect import enhance_stream_info
+
+    # magic fills both
+    info = enhance_stream_info(b"%PDF-1.4")
+    assert info["mimetype"] == "application/pdf" and info["extension"] == ".pdf"
+    # extension guesses mime when magic fails
+    info = enhance_stream_info(b"plain", {"extension": ".html"})
+    assert info["mimetype"] == "text/html"
+    # mime guesses extension
+    info = enhance_stream_info(b"plain", {"mimetype": "text/markdown"})
+    assert info["extension"] == ".md"
+    # filename from local path; caller fields win
+    info = enhance_stream_info(b"%PDF", {"local_path": "/tmp/a/b.pdf",
+                                         "mimetype": "application/x-custom"})
+    assert info["filename"] == "b.pdf"
+    assert info["mimetype"] == "application/x-custom"
