@@ -424,56 +424,15 @@ def minhash_lsh_dedup_distributed(
 
     pairs_ds = pairs_ds.map_batches(dedupe_pairs, batch_format="pyarrow")
 
-    # stage 1 prefilter: join packed signatures onto both endpoints,
-    # keep pairs with estimated Jaccard >= threshold - 0.2 (keeps true
-    # pairs w.p. ~1 - 3e-8 each at n_perm=64).  Arrow hash joins reject
-    # list-typed payload columns, so the signature rides along as a
-    # packed int64-LE binary blob.
-    def _packed(b: pa.Table, key_out: str, sig_out: str) -> pa.Table:
-        import numpy as _np
-
-        blobs = [
-            _np.asarray(s, dtype=_np.int64).tobytes() for s in b["minhash"].to_pylist()
-        ]
-        return pa.table({key_out: b[key_col], sig_out: pa.array(blobs, pa.binary())})
-
-    sig_a = sigs_ds.map_batches(
-        _packed, fn_kwargs={"key_out": "key_a_j", "sig_out": "sig_a"},
-        batch_format="pyarrow", zero_copy_batch=True)
-    sig_b = sigs_ds.map_batches(
-        _packed, fn_kwargs={"key_out": "key_b_j", "sig_out": "sig_b"},
-        batch_format="pyarrow", zero_copy_batch=True)
-    joined = pairs_ds.join(
-        sig_a, join_type="inner", num_partitions=num_partitions,
-        on=("key_a",), right_on=("key_a_j",),
-    ).join(
-        sig_b, join_type="inner", num_partitions=num_partitions,
-        on=("key_b",), right_on=("key_b_j",),
-    )
-
-    def prefilter(batch: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        ka = batch["key_a"].to_pylist()
-        kb = batch["key_b"].to_pylist()
-        sa = batch["sig_a"].to_pylist()
-        sb = batch["sig_b"].to_pylist()
-        keep_a, keep_b = [], []
-        for a, b, x, y in zip(ka, kb, sa, sb):
-            xs = _np.frombuffer(x, dtype=_np.int64)
-            ys = _np.frombuffer(y, dtype=_np.int64)
-            if float(_np.mean(xs == ys)) >= threshold - 0.2:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pa.table({"key_a": pa.array(keep_a, pa.int64()),
-                         "key_b": pa.array(keep_b, pa.int64())})
-
-    candidates = joined.map_batches(prefilter, batch_format="pyarrow")
-
-    # stage 2 arbiter: join texts onto both endpoints (text volume is
-    # bounded by candidate count, not corpus), exact word-3-gram
-    # Jaccard >= threshold — matching the driver variant and the SQL
-    # oracle exactly.
+    # verification: ONE (key, text) join per endpoint, exact word-3-gram
+    # Jaccard as the sole arbiter (same as the driver variant and the
+    # SQL oracle).  Two joins instead of round-2-intermediate's four —
+    # each hash-shuffle join carries multi-second fixed cost — and the
+    # text sides come from the LAZY input dataset, so nothing
+    # corpus-sized materializes (the signature cache stays narrow).
+    # Candidate pairs are bounded by near-dup volume (hot-bucket
+    # prefilter), so exact Jaccard on the few banding false positives
+    # is cheaper than a dedicated signature-prefilter join round.
     def _keyed_text(b: pa.Table, key_out: str, text_out: str) -> pa.Table:
         return pa.table({key_out: b[key_col], text_out: b[text_col]})
 
@@ -483,7 +442,7 @@ def minhash_lsh_dedup_distributed(
     text_b = ds.map_batches(
         _keyed_text, fn_kwargs={"key_out": "key_b_t", "text_out": "text_b"},
         batch_format="pyarrow", zero_copy_batch=True)
-    with_texts = candidates.join(
+    joined = pairs_ds.join(
         text_a, join_type="inner", num_partitions=num_partitions,
         on=("key_a",), right_on=("key_a_t",),
     ).join(
@@ -503,7 +462,7 @@ def minhash_lsh_dedup_distributed(
         return pa.table({"key_a": pa.array(keep_a, pa.int64()),
                          "key_b": pa.array(keep_b, pa.int64())})
 
-    verified = with_texts.map_batches(verify, batch_format="pyarrow")
+    verified = joined.map_batches(verify, batch_format="pyarrow")
     labels = connected_components(
         verified, sigs_ds, key_col=key_col, num_partitions=num_partitions
     )
