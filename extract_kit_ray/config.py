@@ -81,6 +81,39 @@ def validate_extract_options(options: dict | None) -> tuple[bool, str | None, di
     return True, None, out
 
 
+def pool_config_from_env(env=None) -> dict:
+    """Env-var pool sizing (SURVEY.md U7; the reference's EK_PDF_WORKERS /
+    EK_VISION_WORKERS surface, worker-manager.ts:45-55 +
+    example.env.development:9-10):
+
+    - ``EKRAY_EXTRACT_WORKERS``: extraction actor-pool concurrency
+      (default: cluster CPUs - 2, resolved at plan time)
+    - ``EKRAY_VISION_WORKERS``: media/vision actor-pool concurrency
+      (default 2, the reference's PDF-worker default)
+    - ``EKRAY_BATCH_SIZE``: extraction batch size (default 64)
+
+    Invalid values fail loudly at plan time, mirroring the Zod env
+    parse, never mid-pipeline."""
+    import os
+
+    env = os.environ if env is None else env
+    out = {"extract_workers": None, "vision_workers": 2, "batch_size": 64}
+    for key, name in (("EKRAY_EXTRACT_WORKERS", "extract_workers"),
+                      ("EKRAY_VISION_WORKERS", "vision_workers"),
+                      ("EKRAY_BATCH_SIZE", "batch_size")):
+        raw = env.get(key)
+        if raw is None:
+            continue
+        try:
+            val = int(raw)
+        except ValueError:
+            raise ValueError(f"{key} must be an integer, got {raw!r}") from None
+        if val < 1:
+            raise ValueError(f"{key} must be >= 1, got {val}")
+        out[name] = val
+    return out
+
+
 def validate_pdf_payload(payload: bytes, filename: str = "") -> tuple[bool, str | None]:
     """The upload gate (validation.ts:52-64): must look like a PDF (magic
     or .pdf name) and stay under 50 MB."""

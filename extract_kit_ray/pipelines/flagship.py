@@ -29,7 +29,13 @@ PAGES_READ_COLUMNS = ["url", "warc_ts", "html", "lang"]
 def _default_concurrency() -> int:
     """Actor-pool size = CPUs minus headroom for the task-pool operators
     (read / consume). A pool of full-CPU actors sized to ALL cluster CPUs
-    starves ReadParquet of cores and deadlocks the streaming executor."""
+    starves ReadParquet of cores and deadlocks the streaming executor.
+    ``EKRAY_EXTRACT_WORKERS`` overrides (U7 env surface, config.py)."""
+    from ..config import pool_config_from_env
+
+    override = pool_config_from_env()["extract_workers"]
+    if override is not None:
+        return override
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -40,6 +46,31 @@ def _default_concurrency() -> int:
 def read_pages(path: str) -> "ray.data.Dataset":
     """Column-pruned read of a pages parquet directory/file (S1)."""
     return ray.data.read_parquet(path, columns=PAGES_READ_COLUMNS)
+
+
+def read_pages_from_files(path: str, *, lang: str = "") -> "ray.data.Dataset":
+    """Loose-file ingest (the S1/S8 source-normalizer mapping): a
+    directory of raw documents (html/docx/pdf/...) becomes a pages
+    Dataset via ``read_binary_files`` — url is the ``file://`` path,
+    warc_ts is epoch 0 (no crawl timestamp for loose files), and
+    payload detection happens downstream in the extractor, exactly as
+    for crawl payloads."""
+    import pyarrow as pa
+
+    ds = ray.data.read_binary_files(path, include_paths=True)
+
+    def to_pages(batch: "pa.Table") -> "pa.Table":
+        paths = batch["path"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"file://{p}" for p in paths], pa.string()),
+                "warc_ts": pa.array([0] * len(paths), pa.timestamp("us")),
+                "html": pa.array(batch["bytes"].to_pylist(), pa.binary()),
+                "lang": pa.array([lang] * len(paths), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # payloads above this route to their own single-row blocks (M24 analog:

@@ -393,3 +393,19 @@ def test_enhance_stream_info_merges():
                                          "mimetype": "application/x-custom"})
     assert info["filename"] == "b.pdf"
     assert info["mimetype"] == "application/x-custom"
+
+
+def test_pool_config_from_env():
+    import pytest
+
+    from extract_kit_ray.config import pool_config_from_env
+
+    assert pool_config_from_env({}) == {
+        "extract_workers": None, "vision_workers": 2, "batch_size": 64}
+    cfg = pool_config_from_env({"EKRAY_EXTRACT_WORKERS": "12",
+                                "EKRAY_BATCH_SIZE": "128"})
+    assert cfg["extract_workers"] == 12 and cfg["batch_size"] == 128
+    with pytest.raises(ValueError, match="integer"):
+        pool_config_from_env({"EKRAY_VISION_WORKERS": "two"})
+    with pytest.raises(ValueError, match=">= 1"):
+        pool_config_from_env({"EKRAY_EXTRACT_WORKERS": "0"})

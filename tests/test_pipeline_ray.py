@@ -200,3 +200,27 @@ def test_oversize_route_5mb_page_same_outputs(ray_session):
         inline = extract_document(payload, url)
         assert by_url[url]["text"] == inline["text"], url
         assert by_url[url]["valid"] == inline["valid"]
+
+
+def test_read_pages_from_files(ray_session, tmp_path):
+    """Loose-file ingest: raw html/docx/pdf files on disk extract
+    identically to payloads in a parquet pages table."""
+    from extract_kit_ray.fixtures import make_docx_payload, make_html_page
+    from extract_kit_ray.functions.pdf_text import make_pdf
+    from extract_kit_ray.pipelines.flagship import (
+        extract_pages, read_pages_from_files)
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.html").write_bytes(make_html_page(1).encode())
+    (d / "b.docx").write_bytes(make_docx_payload(2))
+    (d / "c.pdf").write_bytes(make_pdf([[("pdf", 72.0, 720.0),
+                                         ("words", 112.0, 720.0)]]))
+    ds = read_pages_from_files(str(d))
+    rows = {r["url"].rsplit("/", 1)[1]: r
+            for r in extract_pages(ds, concurrency=2).take_all()}
+    assert set(rows) == {"a.html", "b.docx", "c.pdf"}
+    assert all(r["valid"] for r in rows.values())
+    assert rows["c.pdf"]["text"] == "pdf words"
+    assert rows["a.html"]["doc_kind"] == "html"
+    assert rows["b.docx"]["doc_kind"] == "docx"
