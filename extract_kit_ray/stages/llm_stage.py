@@ -122,14 +122,23 @@ class FakeLlmClient:
         return json.dumps(record, sort_keys=True)
 
 
-def make_client(provider: str, seed: int = 1234):
-    """Provider factory (ai-provider.ts role). Only 'fake' exists in
-    this sandbox; unknown providers fail loudly at stage build time."""
+def make_client(provider, seed: int = 1234):
+    """Provider factory (ai-provider.ts role).
+
+    ``provider`` is a registered name or a CALLABLE factory
+    ``(seed) -> client`` — the custom-provider surface (U3, the
+    reference's ``custom`` provider with a user-supplied base URL).  A
+    callable travels to the actor via cloudpickle in
+    ``fn_constructor_kwargs``, so registration needs no shared module
+    state.  Only 'fake' is registered in this sandbox; unknown names
+    fail loudly at stage build time."""
+    if callable(provider):
+        return provider(seed)
     if provider == "fake":
         return FakeLlmClient(seed)
     raise ValueError(
-        f"unknown provider {provider!r}: no LLM providers are available "
-        "in this environment (register a client in make_client)"
+        f"unknown provider {provider!r}: pass a callable factory or one "
+        "of the registered names ('fake')"
     )
 
 

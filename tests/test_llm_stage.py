@@ -88,3 +88,23 @@ def test_batch_stage_schema(ray_session):
     assert by_id[7]["valid"] and by_id[7]["n_attempts"] == 2
     assert not by_id[13]["valid"] and by_id[13]["n_attempts"] == 3
     assert by_id[13]["data"] == "" and by_id[13]["errors"]
+
+
+def test_custom_provider_callable():
+    """U3 surface: a callable factory is a provider; the stage uses its
+    client verbatim."""
+
+    class EchoClient:
+        def __init__(self, seed):
+            self.seed = seed
+
+        def generate(self, prompt):
+            return json.dumps({
+                "invoice_details": {"invoice_number": f"CUSTOM-{self.seed}"},
+                "extraction_metadata": {"confidence_score": 0.9},
+            })
+
+    ex = StructuredExtractor(provider=lambda seed: EchoClient(seed), seed=42)
+    data, ok, attempts, _ = ex.extract_one("whatever")
+    assert ok and attempts == 1
+    assert data["invoice_details"]["invoice_number"] == "CUSTOM-42"
