@@ -671,6 +671,67 @@ def q_user_event_gaps(sf_dir: str) -> "ray.data.Dataset":
     return bucketed.groupby("bucket").map_groups(gaps_bucket, batch_format="pandas")
 
 
+def q_asof_last_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (most-recent-prior lookup): every 'click' event joined
+    to the same user's latest 'purchase' event at or before its
+    timestamp (ops/asof.py — bucketed vectorized merge_asof).  SQL
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .ops.asof import asof_join
+
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    out = asof_join(clicks, purchases, key_col="user_id", ts_col="ts",
+                    right_ts_out="prev_purchase_ts", num_buckets=_USER_BUCKETS)
+
+    def project(batch: pa.Table) -> pa.Table:
+        # the union's right-side null-fill makes pandas promote left
+        # int columns to float; restore the int64 contract here
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "prev_purchase_ts": pc.cast(batch["prev_purchase_ts"],
+                                            pa.timestamp("us")),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_events_sliding(sf_dir: str) -> "ray.data.Dataset":
+    """SLIDING-window aggregate (2h windows, 1h slide): each event lands
+    in two windows — window keys expand per row inside map_batches (no
+    self-join), then the partial-agg + tiny-groupby pattern."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    _HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour_us = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="hour"), pa.int64()
+        ).to_numpy()
+        value_cents = np.asarray(cents(batch["value"]))
+        # two window keys per row: floor(ts) and floor(ts) - 1h
+        starts = np.concatenate([hour_us, hour_us - _HOUR_US])
+        doubled = pa.table({
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "one": pa.array(np.ones(2 * len(batch), dtype=np.int64)),
+            "cents": pa.array(np.concatenate([value_cents, value_cents])),
+        })
+        g = doubled.group_by("window_start").aggregate([("one", "sum"), ("cents", "sum")])
+        return g.rename_columns(["window_start", "n_events", "sum_value_cents"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("window_start").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+    )
+
+
 def q_top_docs_per_source(sf_dir: str) -> "ray.data.Dataset":
     """Grouped top-k with a map-side combiner: each batch keeps its local
     top-2 per source (so the shuffle moves <= 2 x sources x batches rows,
@@ -1229,6 +1290,8 @@ QUERIES = {
     "revenue_by_brand": q_revenue_by_brand,
     "events_hourly": q_events_hourly,
     "user_event_gaps": q_user_event_gaps,
+    "asof_last_purchase": q_asof_last_purchase,
+    "events_sliding": q_events_sliding,
     "sessionize": q_sessionize,
     "top_docs_per_source": q_top_docs_per_source,
     "chars_quantiles": q_chars_quantiles,
@@ -1364,6 +1427,25 @@ ORACLE_SQL = {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
         "AS sum_value_cents "
         "FROM events GROUP BY date_trunc('hour', ts), event_type"
+    ),
+    "asof_last_purchase": (
+        "SELECT a.event_id, a.user_id, b.ts AS prev_purchase_ts "
+        "FROM (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click') a "
+        "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
+        "WHERE event_type = 'purchase') b "
+        "ON a.user_id = b.user_id AND b.ts <= a.ts"
+    ),
+    # sliding 2h/1h windows: each event contributes to window_start =
+    # floor(ts) and floor(ts) - 1h (UNION ALL expansion on the SQL side)
+    "events_sliding": (
+        "SELECT window_start, count(*) AS n_events, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_cents FROM ("
+        "SELECT date_trunc('hour', ts) AS window_start, value FROM events "
+        "UNION ALL "
+        "SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events"
+        ") GROUP BY window_start"
     ),
     "user_event_gaps": (
         "SELECT user_id, count(*) AS n_events, "

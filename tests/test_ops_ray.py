@@ -292,3 +292,36 @@ def test_minhash_distributed_on_documents(ray_session):
     out = minhash_lsh_dedup_distributed(ds, threshold=0.8, num_partitions=2)
     assert len(out) == 500
     assert (out["cluster_rep"] <= out["doc_id"]).all()  # rep is the min key
+
+
+def test_asof_join_backward_and_edges(ray_session):
+    """Bucketed merge_asof: backward match at-or-before, null when no
+    prior right row, keys isolated, exact-timestamp matches allowed."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from extract_kit_ray.ops.asof import asof_join
+
+    def ts(s):
+        return pd.Timestamp(s).as_unit("us").to_datetime64()
+
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([10, 10, 10, 99], pa.int64()),
+        "ts": pa.array([ts("2024-01-01 01:00"), ts("2024-01-01 03:00"),
+                        ts("2024-01-01 00:30"), ts("2024-01-01 02:00")],
+                       pa.timestamp("us")),
+    })
+    right = pa.table({
+        "user_id": pa.array([10, 10, 77], pa.int64()),
+        "ts": pa.array([ts("2024-01-01 01:00"), ts("2024-01-01 02:30"),
+                        ts("2024-01-01 00:00")], pa.timestamp("us")),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key_col="user_id", ts_col="ts", num_buckets=4).take_all()
+    by_id = {r["event_id"]: r["ts_prev"] for r in out}
+    assert by_id[1] == pd.Timestamp("2024-01-01 01:00")  # exact match allowed
+    assert by_id[2] == pd.Timestamp("2024-01-01 02:30")  # latest at-or-before
+    assert pd.isna(by_id[3])                             # before any right row
+    assert pd.isna(by_id[4])                             # key has no right rows
