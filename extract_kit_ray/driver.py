@@ -407,6 +407,50 @@ def q_unique_docs(sf_dir: str) -> "ray.data.Dataset":
     ).select_columns(["doc_id", "lang", "source", "n_chars"])
 
 
+def _plant_exact_copies(batch: pa.Table) -> pa.Table:
+    """Append an EXACT copy of every 10th doc under doc_id + _PLANT_OFFSET
+    (SimHash Hamming distance 0 with the source, deterministically)."""
+    ids = batch["doc_id"].to_numpy()
+    sel = batch.select(["doc_id", "text"]).filter(pa.array(ids % 10 == 0))
+    planted = sel.set_column(
+        sel.schema.get_field_index("doc_id"), "doc_id",
+        pc.add(sel["doc_id"], _PLANT_OFFSET),
+    )
+    return pa.concat_tables([batch.select(["doc_id", "text"]), planted])
+
+
+def q_simhash_dups(sf_dir: str) -> pd.DataFrame:
+    """SimHash as exact-dup candidate generator with a text-equality
+    arbiter: banding -> hot-bucket prefilter -> in-bucket Hamming
+    check -> keep Hamming-0 pairs whose TEXTS match.  (Hamming 0 alone
+    is not SQL-reconstructable — one-word-edit docs genuinely collide
+    at distance 0, which is the point of SimHash — so, like minhash's
+    exact-Jaccard arbiter, the final check is exact and the oracle is
+    the identical-text self-join.)  The driver-side text lookup here is
+    corpus-bounded; the scale path joins texts onto pair endpoints like
+    minhash_lsh_dedup_distributed."""
+    from .ops.dedup import simhash_candidates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    augmented = ds.map_batches(_plant_exact_copies, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    pairs = simhash_candidates(augmented, max_hamming=3).to_pandas()
+    cand = pairs[pairs["hamming"] == 0][["key_a", "key_b"]].drop_duplicates()
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
+    for i, t in list(texts.items()):
+        if i % 10 == 0:
+            texts[i + _PLANT_OFFSET] = t
+    keep = [
+        (int(a), int(b)) for a, b in zip(cand["key_a"], cand["key_b"])
+        if texts.get(int(a)) == texts.get(int(b))
+    ]
+    out = pd.DataFrame(keep, columns=["key_a", "key_b"])
+    return (
+        out.sort_values(["key_a", "key_b"]).reset_index(drop=True).astype("int64")
+    )
+
+
 def q_token_counts(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
@@ -1280,6 +1324,7 @@ QUERIES = {
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "exact_dedup_docs": q_exact_dedup_docs,
     "unique_docs": q_unique_docs,
+    "simhash_dups": q_simhash_dups,
     "token_counts": q_token_counts,
     "long_docs": q_long_docs,
     "lang_rollup": q_lang_rollup,
@@ -1374,6 +1419,15 @@ ORACLE_SQL = {
     "token_counts": (
         "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), "
         "x -> x <> '')) AS n_tokens_ws FROM documents"
+    ),
+    # simhash-generated exact-dup pairs, text-equality arbiter ->
+    # identical-text self-join over the exact-copy-augmented corpus
+    "simhash_dups": (
+        f"WITH aug AS (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {_PLANT_OFFSET}, text FROM documents "
+        "WHERE doc_id % 10 = 0) "
+        "SELECT a.doc_id AS key_a, b.doc_id AS key_b "
+        "FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id"
     ),
     "long_docs": (
         "SELECT doc_id, n_tokens_ws FROM (SELECT doc_id, "
