@@ -63,3 +63,55 @@ def test_html_extract_deterministic(text):
     # spans address real content of the visible text
     for s in a.spans:
         assert a.markdown[s.start:s.end].strip()
+
+
+# --- PDF parser roundtrip properties --------------------------------------
+
+_pdf_word = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FF),
+    min_size=1, max_size=12,
+).map(lambda s: s.strip()).filter(bool)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(  # pages
+        st.lists(_pdf_word, min_size=0, max_size=12),  # words per page
+        min_size=1, max_size=4,
+    ),
+    st.booleans(),
+)
+def test_pdf_roundtrip_property(pages_words, compress):
+    """make_pdf -> pdf_to_layout_pages recovers every page's words in
+    order, for arbitrary unicode words (incl. ()\\ escapes) with and
+    without Flate compression."""
+    from extract_kit_ray.functions.pdf_layout import assemble_page_text
+    from extract_kit_ray.functions.pdf_text import make_pdf, pdf_to_layout_pages
+
+    pages = [
+        [(w, 72.0 + 40.0 * j, 720.0) for j, w in enumerate(words)]
+        for words in pages_words
+    ]
+    pdf = make_pdf(pages, compress=compress)
+    out = pdf_to_layout_pages(pdf)
+    assert len(out) == len(pages_words)
+    for got_page, words in zip(out, pages_words):
+        # collapse intra-word whitespace the same way the line merge does
+        expect = " ".join(words)
+        assert assemble_page_text(got_page["runs"]) == expect
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_pdf_parser_total_on_garbage(blob):
+    """%PDF-prefixed garbage must ValueError or parse — never crash with
+    anything else; extract_document must stay total."""
+    from extract_kit_ray.functions.pdf_text import pdf_to_layout_pages
+
+    payload = b"%PDF-1.4\n" + blob
+    try:
+        pdf_to_layout_pages(payload)
+    except (ValueError, UnicodeDecodeError):
+        pass
+    rec = extract_document(payload, "https://fuzz.example/pdf")
+    assert isinstance(rec["valid"], bool)
