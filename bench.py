@@ -44,8 +44,11 @@ BENCH_QUERIES = [
     "events_type_rollup",
     "revenue_by_brand",
     "events_hourly",
+    "events_sliding",
     "user_event_gaps",
+    "asof_last_purchase",
     "sessionize",
+    "simhash_dups",
     "top_docs_per_source",
     "chars_quantiles",
     "ann_topk",

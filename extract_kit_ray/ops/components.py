@@ -54,19 +54,40 @@ def connected_components(
     per key — the caller decides whether that is small enough to collect
     (minhash_lsh_dedup does; a 10^12-doc run would instead write it out).
     """
-    labels = keys_ds.map_batches(
-        lambda b: pa.table(
-            {"key": pa.compute.cast(b[key_col], pa.int64()),
-             "label": pa.compute.cast(b[key_col], pa.int64())}
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+    all_keys = (
+        keys_ds.map_batches(
+            lambda b: pa.table({"key": pa.compute.cast(b[key_col], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_pandas()["key"]
+    )
 
     if pairs_ds.count() == 0:
-        df = labels.to_pandas().rename(columns={"key": key_col, "label": "cluster_rep"})
+        df = pd.DataFrame({key_col: all_keys, "cluster_rep": all_keys})
         return df.sort_values(key_col).reset_index(drop=True)
 
     edges = _edges_both_directions(pairs_ds).materialize()
+
+    # Iteration universe: edge-INCIDENT keys only.  A key with no edges
+    # can never change label, so iterating over the full corpus label
+    # table would do corpus-sized shuffle work per round for nothing —
+    # the incident set is bounded by duplicate volume (the same
+    # broadcastable-smallness assumption dedup's cluster map makes), so
+    # each round's join + groupby-min touches only (dup-volume) rows.
+    from ray.data.aggregate import Count
+
+    incident = (
+        edges.select_columns(["src"])
+        .groupby("src").aggregate(Count(alias_name="n"))
+        .to_pandas()["src"].astype("int64")
+    )
+    inc = pa.array(incident.to_numpy(), pa.int64())
+    # arrow blocks, NOT from_pandas: a pandas-block dataset unioned with
+    # the arrow-block message dataset breaks the aggregate's sort sampler
+    labels = ray.data.from_arrow(
+        pa.table({"key": inc, "label": inc})
+    ).materialize()
+
     prev_sum: int | None = None
     for _ in range(max_iters):
         # neighbor messages: label of src delivered to dst
@@ -87,5 +108,11 @@ def connected_components(
             break  # labels are monotone non-increasing -> fixpoint
         prev_sum = total
 
-    df = labels.to_pandas().rename(columns={"key": key_col, "label": "cluster_rep"})
+    lab_df = labels.to_pandas().rename(columns={"key": key_col, "label": "cluster_rep"})
+    touched = set(lab_df[key_col])
+    rest = all_keys[~all_keys.isin(touched)]
+    df = pd.concat(
+        [lab_df, pd.DataFrame({key_col: rest, "cluster_rep": rest})],
+        ignore_index=True,
+    )
     return df.sort_values(key_col).reset_index(drop=True)
