@@ -320,19 +320,6 @@ def train_centroids(sample: np.ndarray, n_lists: int = 16, n_iter: int = 10,
     return cents
 
 
-class IvfAssigner:
-    """Actor: assign each vector to its nearest centroid (inverted list)."""
-
-    def __init__(self, cents_ref, vec_col: str = "embedding"):
-        self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(_batch_matrix(batch, self.vec_col))
-        lists = np.argmax(mat @ self.cents.T, axis=1).astype(np.int32)
-        return batch.append_column("ivf_list", pa.array(lists.tolist(), pa.int32()))
-
-
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, n_lists: int = 16,
              n_probe: int = 4, train_sample: np.ndarray | None = None,
              vec_col: str = "embedding", key_col: str = "vec_id",
