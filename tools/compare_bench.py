@@ -13,8 +13,13 @@ import json
 def load(path: str) -> dict:
     with open(path) as f:
         text = f.read().strip()
-    # accept either a bare JSON object or the last line of a log
-    return json.loads(text.splitlines()[-1])
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        # bench.py log output: the JSON object is the last line
+        d = json.loads(text.splitlines()[-1])
+    # driver BENCH_r{N}.json wraps the bench line under "parsed"
+    return d.get("parsed", d) if isinstance(d.get("parsed", None), dict) else d
 
 
 def main() -> None:
