@@ -600,6 +600,28 @@ def q_events_type_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_hll_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-user count per event type (ops/sketches.py):
+    constant-size mergeable register state instead of the key-wide
+    shuffle the exact two-level groupby pays.  The invariant oracle
+    asserts every group's estimate lands within 5% of exact (exact
+    computed by the engine's own q_events_type_rollup path, itself
+    value-checked vs DuckDB); splitmix64 hashing makes the estimate
+    deterministic, so the boolean is stable."""
+    from .ops.sketches import hll_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    est = hll_distinct(ds, group_col="event_type", key_col="user_id").to_pandas()
+    exact = (
+        q_events_type_rollup(sf_dir).to_pandas()[["event_type", "n_users"]]
+    )
+    m = est.merge(exact, on="event_type")
+    m["hll_ok"] = (m["distinct_est"] / m["n_users"] - 1.0).abs() <= 0.05
+    return m[["event_type", "hll_ok"]].sort_values("event_type").reset_index(drop=True)
+
+
 def q_revenue_by_brand(sf_dir: str) -> "ray.data.Dataset":
     """Broadcast hash join (SURVEY.md §2.5 J-family): the small ``part``
     table is shipped to the object store ONCE via ``ray.put`` and read in
@@ -1332,6 +1354,7 @@ QUERIES = {
     "top_sources": q_top_sources,
     "lineitem_pricing_rollup": q_lineitem_pricing_rollup,
     "events_type_rollup": q_events_type_rollup,
+    "hll_users_per_type": q_hll_users_per_type,
     "revenue_by_brand": q_revenue_by_brand,
     "events_hourly": q_events_hourly,
     "user_event_gaps": q_user_event_gaps,
@@ -1459,6 +1482,9 @@ ORACLE_SQL = {
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
         "AS sum_price_cents "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "hll_users_per_type": (
+        "SELECT DISTINCT event_type, TRUE AS hll_ok FROM events"
     ),
     "events_type_rollup": (
         "SELECT event_type, count(*) AS n_events, "

@@ -325,3 +325,36 @@ def test_asof_join_backward_and_edges(ray_session):
     assert by_id[2] == pd.Timestamp("2024-01-01 02:30")  # latest at-or-before
     assert pd.isna(by_id[3])                             # before any right row
     assert pd.isna(by_id[4])                             # key has no right rows
+
+
+def test_hll_sketch_accuracy_and_merge():
+    import numpy as np
+
+    from extract_kit_ray.ops.sketches import hll_estimate, hll_registers
+
+    for n in (1_000, 50_000):
+        keys = np.arange(n, dtype=np.int64) * 7919 + 13
+        est = hll_estimate(hll_registers(keys))
+        assert abs(est - n) / n < 0.05, (n, est)
+    # merge(a, b) must equal the sketch of the union (register max)
+    keys = np.arange(50_000, dtype=np.int64)
+    merged = np.maximum(hll_registers(keys[:30_000]), hll_registers(keys[20_000:]))
+    assert (merged == hll_registers(keys)).all()
+    # determinism across calls
+    assert (hll_registers(keys) == hll_registers(keys.copy())).all()
+
+
+def test_hll_distinct_dataset(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from extract_kit_ray.ops.sketches import hll_distinct
+
+    rows = pd.DataFrame({
+        "g": ["a"] * 6000 + ["b"] * 3000,
+        "k": list(range(2000)) * 3 + list(range(500)) * 6,
+    })
+    out = hll_distinct(ray.data.from_pandas(rows), group_col="g", key_col="k")
+    by_g = {r["g"]: r["distinct_est"] for r in out.take_all()}
+    assert abs(by_g["a"] - 2000) / 2000 < 0.05
+    assert abs(by_g["b"] - 500) / 500 < 0.05
