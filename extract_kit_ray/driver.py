@@ -877,6 +877,53 @@ def q_vocab_topk(sf_dir: str) -> pd.DataFrame:
     return top.to_pandas()[["word", "n"]]
 
 
+_TOP_TERMS = 5
+
+
+def q_term_counts_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Global top-k then per-partition breakdown: the corpus' top-5
+    words (deterministic tie-break, as in vocab_topk) counted per
+    source.  ONE set of per-batch (source, word) Counter partials feeds
+    both consumers; the top-word set (tiny) broadcasts into a semi-join
+    filter — the corpus-wide word table itself only shuffles once."""
+    from collections import Counter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for src, text in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in (text or "").split():
+                counts[(src, w)] += 1
+        if not counts:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        srcs, words = zip(*counts.keys())
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "word": pa.array(words, pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    by_src_word = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "word"]).aggregate(Sum("n", alias_name="n"))
+        .materialize()  # two consumers: corpus top-k + the filtered output
+    )
+    totals = (
+        by_src_word.groupby("word").aggregate(Sum("n", alias_name="total"))
+        .sort(["total", "word"], descending=[True, False]).limit(_TOP_TERMS)
+        .to_pandas()
+    )
+    top_words = frozenset(totals["word"])
+
+    def keep_top(batch: pa.Table) -> pa.Table:
+        mask = pa.array([w in top_words for w in batch["word"].to_pylist()])
+        return batch.filter(mask)
+
+    return by_src_word.map_batches(keep_top, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+
 def q_distinct_lang_source(sf_dir: str) -> "ray.data.Dataset":
     """Set op (§2.8): distinct (lang, source) pairs via per-batch local
     distinct + keyed groupby count (count kept as evidence)."""
@@ -1364,6 +1411,7 @@ QUERIES = {
     "top_docs_per_source": q_top_docs_per_source,
     "chars_quantiles": q_chars_quantiles,
     "vocab_topk": q_vocab_topk,
+    "term_counts_by_source": q_term_counts_by_source,
     "distinct_lang_source": q_distinct_lang_source,
     "ann_topk": q_ann_topk,
     "lsh_recall": q_lsh_recall,
@@ -1555,6 +1603,17 @@ ORACLE_SQL = {
         "SELECT word, count(*) AS n FROM ("
         "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents"
         ") WHERE word <> '' GROUP BY word ORDER BY n DESC, word ASC LIMIT 20"
+    ),
+    "term_counts_by_source": (
+        "WITH w AS (SELECT source, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "FROM documents), "
+        "sw AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2), "
+        "top AS (SELECT word FROM (SELECT word, CAST(sum(n) AS BIGINT) "
+        "AS total FROM sw GROUP BY word) "
+        f"ORDER BY total DESC, word ASC LIMIT {_TOP_TERMS}) "
+        "SELECT sw.source, sw.word, CAST(sw.n AS BIGINT) AS n "
+        "FROM sw JOIN top USING (word)"
     ),
     "distinct_lang_source": (
         "SELECT lang, source, count(*) AS n_docs FROM documents "
