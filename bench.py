@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "extract_html_roundtrip",
     "extract_pdf_roundtrip",
     "exact_dedup_docs",
+    "bloom_cross_run_dups",
+    "hll_users_per_type",
     "token_counts",
     "lang_rollup",
     "lineitem_pricing_rollup",

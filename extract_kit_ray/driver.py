@@ -451,6 +451,73 @@ def q_simhash_dups(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_bloom_cross_run_dups(sf_dir: str) -> pd.DataFrame:
+    """Cross-RUN incremental dedup via a Bloom membership sketch
+    (ops/sketches.py): docs split at the median doc_id into a
+    'previous run' and a 'new run' (plus planted copies of every 25th
+    old doc under shifted ids); a Bloom filter of the old run's content
+    hashes (16 bits/key, k=8 — fixed-size state, the point at 100 TB)
+    prefilters the new run with NO false negatives, and exact hash
+    membership arbitrates the sketch's false positives, so the output
+    is exactly the true cross-run duplicates (SQL: text join across
+    the halves).  The exact-set collect here is test-scale; the scale
+    path joins bloom-positive candidates against the old table."""
+    from .ops.dedup import add_text_hash as _ath
+    from .ops.sketches import BLOOM_BITS_PER_KEY, bloom_build_ds, bloom_probe
+
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    split = n_docs // 2
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    old = ds.filter(expr=f"doc_id < {split}")
+
+    def make_new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        newer = batch.filter(pa.array(ids >= split))
+        planted_src = batch.filter(pa.array((ids < split) & (ids % 25 == 0)))
+        planted = planted_src.set_column(
+            planted_src.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(planted_src["doc_id"], _PLANT_OFFSET),
+        )
+        return pa.concat_tables([newer, planted])
+
+    new = ds.map_batches(make_new, batch_format="pyarrow", zero_copy_batch=True)
+
+    old_hashed = old.map_batches(_ath, batch_format="pyarrow", zero_copy_batch=True)
+    m_bits = max(1024, BLOOM_BITS_PER_KEY * split)
+    bitmap = bloom_build_ds(old_hashed, key_col="text_hash", m_bits=m_bits)
+    bitmap_ref = __import__("ray").put(bitmap)
+
+    # exact arbiter set (128-bit pairs) for the bloom candidates
+    old_pairs = old_hashed.select_columns(["text_hash", "text_hash2"]).to_pandas()
+    old_set = frozenset(zip(old_pairs["text_hash"], old_pairs["text_hash2"]))
+    old_set_ref = __import__("ray").put(old_set)
+
+    class BloomProber:
+        def __init__(self):
+            import ray as _ray
+
+            self.bitmap = _ray.get(bitmap_ref)
+            self.old_set = _ray.get(old_set_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hashed = _ath(batch)
+            keys = hashed["text_hash"].to_numpy().astype(np.int64)
+            maybe = bloom_probe(self.bitmap, keys, m_bits)
+            cand = hashed.filter(pa.array(maybe))
+            mask = [
+                (a, b) in self.old_set for a, b in
+                zip(cand["text_hash"].to_pylist(), cand["text_hash2"].to_pylist())
+            ]
+            return cand.filter(pa.array(mask, pa.bool_())).select(["doc_id"])
+
+    out = new.map_batches(BloomProber, batch_format="pyarrow",
+                          zero_copy_batch=True, **_pool()).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 def q_token_counts(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
@@ -1394,6 +1461,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "unique_docs": q_unique_docs,
     "simhash_dups": q_simhash_dups,
+    "bloom_cross_run_dups": q_bloom_cross_run_dups,
     "token_counts": q_token_counts,
     "long_docs": q_long_docs,
     "lang_rollup": q_lang_rollup,
@@ -1490,6 +1558,17 @@ ORACLE_SQL = {
     "token_counts": (
         "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), "
         "x -> x <> '')) AS n_tokens_ws FROM documents"
+    ),
+    # bloom prefilter + exact arbiter -> true cross-half duplicates:
+    # new-run docs (upper half + planted copies of every 25th old doc)
+    # whose text appears in the old half
+    "bloom_cross_run_dups": (
+        "WITH meta AS (SELECT CAST(count(*) / 2 AS BIGINT) AS split FROM documents), "
+        "old AS (SELECT DISTINCT text FROM documents, meta WHERE doc_id < split), "
+        "new AS (SELECT doc_id, text FROM documents, meta WHERE doc_id >= split "
+        f"UNION ALL SELECT doc_id + {_PLANT_OFFSET}, text "
+        "FROM documents, meta WHERE doc_id < split AND doc_id % 25 = 0) "
+        "SELECT n.doc_id FROM new n JOIN old o ON n.text = o.text"
     ),
     # simhash-generated exact-dup pairs, text-equality arbiter ->
     # identical-text self-join over the exact-copy-augmented corpus

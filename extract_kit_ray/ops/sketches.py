@@ -96,6 +96,64 @@ def hll_merge_group(group: pd.DataFrame, *, group_col: str) -> pd.DataFrame:
     })
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership sketch (cross-run incremental dedup)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 8
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via Kirsch-Mitzenmacher double hashing
+    (h1 + i*h2 — public technique), splitmix64-derived, deterministic."""
+    u = keys.astype(np.uint64)
+    h1 = mix64(u)
+    h2 = mix64(u ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return pos.astype(np.int64)
+
+
+def bloom_build(keys: np.ndarray, m_bits: int, k: int = BLOOM_K) -> np.ndarray:
+    """int64 keys -> uint8 bitmap of ceil(m_bits/8) bytes."""
+    bitmap = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    if len(keys):
+        pos = _bloom_positions(keys, m_bits, k).ravel()
+        np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bitmap
+
+
+def bloom_probe(bitmap: np.ndarray, keys: np.ndarray, m_bits: int,
+                k: int = BLOOM_K) -> np.ndarray:
+    """(n,) bool: True = maybe-member (no false negatives)."""
+    if not len(keys):
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(keys, m_bits, k)
+    bits = (bitmap[pos >> 3] >> (pos & 7)) & 1
+    return bits.all(axis=1)
+
+
+def bloom_build_ds(ds, *, key_col: str, m_bits: int, k: int = BLOOM_K) -> np.ndarray:
+    """Dataset -> merged bitmap: per-batch partial bitmaps OR-reduce
+    (mergeable like HLL registers; the shuffle moves fixed-size bitmaps,
+    never keys).  The bitmap is m_bits/8 bytes total — size m_bits ~
+    BLOOM_BITS_PER_KEY * expected keys and ship it via ray.put to
+    probe-side actors."""
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy().astype(np.int64)
+        return pa.table({"bitmap": pa.array([bloom_build(keys, m_bits, k).tobytes()],
+                                            pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    bitmap = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return bitmap
+
+
 def hll_distinct(ds, *, group_col: str, key_col: str, p: int = DEFAULT_P):
     """Dataset -> (group, distinct_est) via mergeable HLL partials."""
     import functools

@@ -358,3 +358,38 @@ def test_hll_distinct_dataset(ray_session):
     by_g = {r["g"]: r["distinct_est"] for r in out.take_all()}
     assert abs(by_g["a"] - 2000) / 2000 < 0.05
     assert abs(by_g["b"] - 500) / 500 < 0.05
+
+
+def test_bloom_filter_properties(ray_session):
+    import numpy as np
+
+    from extract_kit_ray.ops.sketches import bloom_build, bloom_probe
+
+    members = np.arange(10_000, dtype=np.int64) * 31 + 7
+    others = np.arange(10_000, dtype=np.int64) * 31 + 8
+    m_bits = 16 * len(members)
+    bm = bloom_build(members, m_bits)
+    # NO false negatives — the load-bearing property
+    assert bloom_probe(bm, members, m_bits).all()
+    # false-positive rate near the design point (~2e-4 at 16 bits/key, k=8)
+    fp = bloom_probe(bm, others, m_bits).mean()
+    assert fp < 0.01, fp
+    # mergeability: or(a, b) == bloom(union)
+    a, b = members[:6000], members[4000:]
+    assert (np.bitwise_or(bloom_build(a, m_bits), bloom_build(b, m_bits))
+            == bm).all()
+
+
+def test_bloom_build_ds(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from extract_kit_ray.ops.sketches import bloom_build, bloom_build_ds, bloom_probe
+
+    keys = np.arange(5000, dtype=np.int64) * 13 + 1
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(4)
+    m_bits = 16 * len(keys)
+    bm = bloom_build_ds(ds, key_col="k", m_bits=m_bits)
+    assert (bm == bloom_build(keys, m_bits)).all()
+    assert bloom_probe(bm, keys, m_bits).all()
