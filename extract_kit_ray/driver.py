@@ -525,6 +525,26 @@ def q_token_counts(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# 40/10 so the 10-100-word driver docs genuinely produce multi-chunk
+# overlapping output (100 words -> starts 0/30/60, 3 chunks)
+_CHUNK_WORDS, _CHUNK_OVERLAP = 40, 10
+
+
+def q_chunk_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding-window chunking (LLM-training staple): 100-word windows,
+    20-word overlap, 1 doc -> N chunk rows inside map_batches (no
+    shuffle); exact SQL reconstruction via generate_series + list
+    slicing."""
+    from .ops.textops import chunk_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        chunk_batch,
+        fn_kwargs={"chunk_words": _CHUNK_WORDS, "overlap": _CHUNK_OVERLAP},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_long_docs(sf_dir: str) -> "ray.data.Dataset":
     """Quality-style length filter: docs with >= 60 whitespace tokens."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1463,6 +1483,7 @@ QUERIES = {
     "simhash_dups": q_simhash_dups,
     "bloom_cross_run_dups": q_bloom_cross_run_dups,
     "token_counts": q_token_counts,
+    "chunk_docs": q_chunk_docs,
     "long_docs": q_long_docs,
     "lang_rollup": q_lang_rollup,
     "source_rollup": q_source_rollup,
@@ -1578,6 +1599,19 @@ ORACLE_SQL = {
         "WHERE doc_id % 10 = 0) "
         "SELECT a.doc_id AS key_a, b.doc_id AS key_b "
         "FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id"
+    ),
+    # sliding-window chunks: starts 0, 30, 2*30, ...; chunk count =
+    # max(1, ceil((W - 10) / 30)); empty docs yield one empty chunk
+    "chunk_docs": (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'\\s+'), x -> x <> '') AS ws FROM documents), "
+        "p AS (SELECT doc_id, ws, len(ws) AS nw, "
+        "greatest(CAST(ceil((len(ws) - 10) / 30.0) AS BIGINT), 1) AS nc "
+        "FROM w) "
+        "SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_no, "
+        "array_to_string(ws[(i-1)*30+1 : (i-1)*30+40], ' ') AS chunk_text, "
+        "CAST(least(40, greatest(nw - (i-1)*30, 0)) AS BIGINT) AS n_tokens "
+        "FROM p, unnest(generate_series(1, nc)) AS t(i)"
     ),
     "long_docs": (
         "SELECT doc_id, n_tokens_ws FROM (SELECT doc_id, "

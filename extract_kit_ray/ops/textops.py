@@ -59,6 +59,48 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def chunk_batch(batch: pa.Table, *, text_col: str = "text",
+                key_col: str = "doc_id", chunk_words: int = 100,
+                overlap: int = 20) -> pa.Table:
+    """Sliding-window document chunking (the LLM-training staple): each
+    doc becomes ceil-ish windows of ``chunk_words`` whitespace tokens
+    advancing by ``chunk_words - overlap``; the last window is the
+    remainder (non-empty docs always yield >= 1 chunk).  1 doc -> N
+    chunk rows inside one map_batches — the fan-out never shuffles."""
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be < chunk_words")
+    step = chunk_words - overlap
+    keys, chunk_nos, texts, n_toks = [], [], [], []
+    for key, text in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+        words = (text or "").split()
+        if not words:
+            keys.append(key)
+            chunk_nos.append(0)
+            texts.append("")
+            n_toks.append(0)
+            continue
+        start = 0
+        chunk_no = 0
+        while True:
+            window = words[start : start + chunk_words]
+            keys.append(key)
+            chunk_nos.append(chunk_no)
+            texts.append(" ".join(window))
+            n_toks.append(len(window))
+            if start + chunk_words >= len(words):
+                break
+            start += step
+            chunk_no += 1
+    return pa.table(
+        {
+            key_col: pa.array(keys, batch[key_col].type),
+            "chunk_no": pa.array(chunk_nos, pa.int64()),
+            "chunk_text": pa.array(texts, pa.large_string()),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fps, hashes = [], []
     for text in batch[text_col].to_pylist():

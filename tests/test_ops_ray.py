@@ -393,3 +393,29 @@ def test_bloom_build_ds(ray_session):
     bm = bloom_build_ds(ds, key_col="k", m_bits=m_bits)
     assert (bm == bloom_build(keys, m_bits)).all()
     assert bloom_probe(bm, keys, m_bits).all()
+
+
+def test_chunk_batch_windows():
+    import pyarrow as pa
+
+    from extract_kit_ray.ops.textops import chunk_batch
+
+    words = [f"w{i}" for i in range(100)]
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([" ".join(words), ""], pa.string())})
+    out = chunk_batch(tbl, chunk_words=40, overlap=10)
+    rows = out.to_pylist()
+    doc1 = [r for r in rows if r["doc_id"] == 1]
+    # starts 0, 30, 60: last window reaches the end
+    assert [r["chunk_no"] for r in doc1] == [0, 1, 2]
+    assert doc1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert doc1[1]["chunk_text"].split()[0] == "w30"  # 10-word overlap
+    assert doc1[2]["chunk_text"].split()[-1] == "w99"
+    assert [r["n_tokens"] for r in doc1] == [40, 40, 40]
+    doc2 = [r for r in rows if r["doc_id"] == 2]
+    assert doc2 == [{"doc_id": 2, "chunk_no": 0, "chunk_text": "", "n_tokens": 0}]
+    # overlap >= chunk_words fails loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_batch(tbl, chunk_words=10, overlap=10)
