@@ -933,9 +933,68 @@ def q_chars_quantiles(sf_dir: str) -> pd.DataFrame:
     cum = hist["cnt"].cumsum()
     out = {}
     for q in _QUANTILES:
-        idx = int(np.floor(q * (n - 1)))  # quantile_disc position
+        # DuckDB quantile_disc convention: element at ceil(q*n)-1 (0-based)
+        idx = max(0, int(np.ceil(q * n)) - 1)
         out[f"p{int(q * 100)}"] = int(hist["n_chars"][cum > idx].iloc[0])
     return pd.DataFrame([out])
+
+
+def q_chars_quantiles_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Exact GROUPED quantiles via per-group value histograms: the
+    (lang, n_chars) count table is bounded by groups x value-domain —
+    never a per-group sort of the corpus; the quantile read-off is a
+    cumsum over each group's small histogram."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": batch["lang"], "n_chars": batch["n_chars"],
+                      "one": pa.array([1] * len(batch), pa.int64())})
+            .group_by(["lang", "n_chars"]).aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"]).aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars").reset_index(drop=True)
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum()
+        row = {"lang": lang}
+        for q in _QUANTILES:
+            idx = max(0, int(np.ceil(q * n)) - 1)  # quantile_disc position
+            row[f"p{int(q * 100)}"] = int(g["n_chars"][cum > idx].iloc[0])
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+_STOPWORD_FILTER_LANG = "en"
+
+
+def q_content_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Stopword-removal cleaning op: per doc, tokens surviving the
+    English stopword filter (lowercased whitespace tokens not in the
+    list) — the standard pre-tokenization cleaning step, exactly
+    SQL-reconstructable."""
+    from .functions.textstats import _LANG_STOPWORDS
+
+    stop = _LANG_STOPWORDS[_STOPWORD_FILTER_LANG]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_content(batch: pa.Table) -> pa.Table:
+        counts = [
+            sum(1 for w in (t or "").split() if w.lower() not in stop)
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_content_tokens": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(count_content, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_vocab_topk(sf_dir: str) -> pd.DataFrame:
@@ -1499,6 +1558,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "top_docs_per_source": q_top_docs_per_source,
     "chars_quantiles": q_chars_quantiles,
+    "chars_quantiles_by_lang": q_chars_quantiles_by_lang,
+    "content_token_counts": q_content_token_counts,
     "vocab_topk": q_vocab_topk,
     "term_counts_by_source": q_term_counts_by_source,
     "distinct_lang_source": q_distinct_lang_source,
@@ -1699,6 +1760,11 @@ ORACLE_SQL = {
         "SELECT doc_id, source, n_chars FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY source "
         "ORDER BY n_chars DESC, doc_id) <= 2"
+    ),
+    "chars_quantiles_by_lang": (
+        "SELECT lang, quantile_disc(n_chars, 0.5) AS p50, "
+        "quantile_disc(n_chars, 0.9) AS p90, "
+        "quantile_disc(n_chars, 0.99) AS p99 FROM documents GROUP BY lang"
     ),
     "chars_quantiles": (
         "SELECT quantile_disc(n_chars, 0.5) AS p50, "
@@ -1921,3 +1987,19 @@ def _quality_oracle() -> str:
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle()
 ORACLE_SQL["quality_signals"] = _quality_oracle()
+
+# stopword-filter cleaning op: list built from the same source table as
+# the engine (functions/textstats._LANG_STOPWORDS)
+def _content_tokens_oracle() -> str:
+    from .functions.textstats import _LANG_STOPWORDS
+
+    en = _sql_strlist(_LANG_STOPWORDS["en"])
+    return (
+        "SELECT doc_id, CAST(len(list_filter("
+        "regexp_split_to_array(text, '\\s+'), "
+        f"x -> x <> '' AND NOT list_contains({en}, lower(x)))) AS BIGINT) "
+        "AS n_content_tokens FROM documents"
+    )
+
+
+ORACLE_SQL["content_token_counts"] = _content_tokens_oracle()
