@@ -149,14 +149,48 @@ def _load_numbering(zf: zipfile.ZipFile) -> dict[str, dict[int, str]]:
     return nums
 
 
-class _DocCtx:
-    """Per-document conversion context: rels, numbering, styleMap."""
+def _load_notes(zf: zipfile.ZipFile, which: str) -> dict[str, ElementTree.Element]:
+    """word/footnotes.xml / word/endnotes.xml -> {id: note element},
+    skipping the separator/continuation pseudo-notes."""
+    try:
+        data = zf.read(f"word/{which}.xml")
+    except KeyError:
+        return {}
+    try:
+        root = ElementTree.fromstring(data)
+    except ElementTree.ParseError:
+        return {}
+    tag = f"{W_NS}{which[:-1]}"  # footnote / endnote
+    out = {}
+    for note in root.iter(tag):
+        if note.get(f"{W_NS}type") in ("separator", "continuationSeparator"):
+            continue
+        nid = note.get(f"{W_NS}id")
+        if nid is not None:
+            out[nid] = note
+    return out
 
-    def __init__(self, rels=None, numbering=None, p_style_map=None, r_style_map=None):
+
+class _DocCtx:
+    """Per-document conversion context: rels, numbering, styleMap,
+    footnotes/endnotes (+ the in-document reference order)."""
+
+    def __init__(self, rels=None, numbering=None, p_style_map=None,
+                 r_style_map=None, footnotes=None, endnotes=None):
         self.rels = rels or {}
         self.numbering = numbering or {}
         self.p_style_map = p_style_map or {}
         self.r_style_map = r_style_map or {}
+        self.footnotes = footnotes or {}
+        self.endnotes = endnotes or {}
+        # (kind, id) in first-reference order -> sequential [n] numbering
+        self.note_refs: list[tuple[str, str]] = []
+
+    def note_number(self, kind: str, nid: str) -> int:
+        ref = (kind, nid)
+        if ref not in self.note_refs:
+            self.note_refs.append(ref)
+        return self.note_refs.index(ref) + 1
 
 
 def _drawing_alt(element: ElementTree.Element) -> str:
@@ -194,6 +228,18 @@ def _run_html(run: ElementTree.Element, ctx: _DocCtx, warnings: list[str]) -> st
         elif tag in (f"{W_NS}drawing", f"{W_NS}pict", f"{W_NS}object"):
             alt = _drawing_alt(child)
             parts.append(f'<img alt="{escape(alt, quote=True)}">')
+        elif tag in (f"{W_NS}footnoteReference", f"{W_NS}endnoteReference"):
+            kind = "footnote" if tag.endswith("footnoteReference") else "endnote"
+            nid = child.get(f"{W_NS}id", "")
+            notes = ctx.footnotes if kind == "footnote" else ctx.endnotes
+            if nid in notes:
+                n = ctx.note_number(kind, nid)
+                parts.append(
+                    f'<sup><a href="#{kind}-{nid}" id="{kind}-ref-{nid}">'
+                    f"[{n}]</a></sup>"
+                )
+            else:
+                warnings.append(f"unresolved {kind} reference id {nid!r}")
         elif tag != f"{W_NS}rPr":
             short = _NS_TAG.sub("", tag)
             if short not in ("lastRenderedPageBreak", "noBreakHyphen", "softHyphen"):
@@ -328,6 +374,22 @@ def docx_xml_to_html(
         elif tag != f"{W_NS}sectPr":
             warnings.append(f"unsupported body element: {_NS_TAG.sub('', tag)}")
     close_all()
+    # mammoth-style note list: one <ol> of referenced foot/endnotes in
+    # first-reference order, each with a back-link arrow
+    if ctx.note_refs:
+        items = []
+        for kind, nid in ctx.note_refs:
+            note = (ctx.footnotes if kind == "footnote" else ctx.endnotes).get(nid)
+            inner_parts = [
+                _inline_html(p, ctx, warnings)
+                for p in (note.findall(f"{W_NS}p") if note is not None else [])
+            ]
+            body_html = " ".join(x for x in inner_parts if x)
+            items.append(
+                f'<li id="{kind}-{nid}"><p>{body_html} '
+                f'<a href="#{kind}-ref-{nid}">↑</a></p></li>'
+            )
+        out.append("<ol>" + "".join(items) + "</ol>")
     return "".join(out)
 
 
@@ -351,6 +413,8 @@ def docx_to_html(
         numbering=_load_numbering(zf),
         p_style_map=p_map,
         r_style_map=r_map,
+        footnotes=_load_notes(zf, "footnotes"),
+        endnotes=_load_notes(zf, "endnotes"),
     )
     try:
         html = docx_xml_to_html(document_xml, warnings, ctx)

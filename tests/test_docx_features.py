@@ -158,3 +158,50 @@ def test_end_to_end_markdown_with_links_lists_images():
     assert "- first" in text and "- second" in text
     assert "[a link](https://example.com/page)" in text
     assert "[diagram]" in text
+
+
+FOOTNOTES = f"""<?xml version="1.0"?>
+<w:footnotes xmlns:w="{W}">
+  <w:footnote w:type="separator" w:id="-1"><w:p>{{}}</w:p></w:footnote>
+  <w:footnote w:id="2"><w:p><w:r><w:t>first note body</w:t></w:r></w:p></w:footnote>
+  <w:footnote w:id="3"><w:p><w:r><w:t>second note body</w:t></w:r></w:p></w:footnote>
+</w:footnotes>""".replace("{{}}", "")
+
+
+def _docx_with_notes(body: str) -> bytes:
+    import io
+    import zipfile
+
+    document = (
+        f'<w:document xmlns:w="{W}" xmlns:r="{R}"><w:body>{body}</w:body></w:document>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", '<?xml version="1.0"?><Types/>')
+        zf.writestr("word/document.xml", document)
+        zf.writestr("word/footnotes.xml", FOOTNOTES)
+    return buf.getvalue()
+
+
+def test_footnotes_rendered_mammoth_style():
+    body = (
+        '<w:p><w:r><w:t>text</w:t></w:r>'
+        '<w:r><w:footnoteReference w:id="3"/></w:r>'
+        '<w:r><w:t> more</w:t></w:r>'
+        '<w:r><w:footnoteReference w:id="2"/></w:r></w:p>'
+    )
+    html, warnings = docx_to_html(_docx_with_notes(body))
+    # sequential numbering in first-reference order (3 first -> [1])
+    assert '<sup><a href="#footnote-3" id="footnote-ref-3">[1]</a></sup>' in html
+    assert '<sup><a href="#footnote-2" id="footnote-ref-2">[2]</a></sup>' in html
+    # note list at the end, reference order, with back-links
+    assert html.index("second note body") < html.index("first note body")
+    assert '<a href="#footnote-ref-3">↑</a>' in html
+    assert warnings == []
+
+
+def test_unresolved_footnote_warns():
+    body = '<w:p><w:r><w:footnoteReference w:id="99"/></w:r></w:p>'
+    html, warnings = docx_to_html(_docx_with_notes(body))
+    assert "[1]" not in html
+    assert any("unresolved footnote" in w for w in warnings)
