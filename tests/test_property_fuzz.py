@@ -115,3 +115,39 @@ def test_pdf_parser_total_on_garbage(blob):
         pass
     rec = extract_document(payload, "https://fuzz.example/pdf")
     assert isinstance(rec["valid"], bool)
+
+
+# --- DOCX converter totality ----------------------------------------------
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet=st.sampled_from("<>/wprtb: =\"'ni"), max_size=400))
+def test_docx_xml_soup_total(soup):
+    """Arbitrary tag soup inside a valid zip: docx_to_html either
+    converts or raises ValueError (malformed XML) — never anything
+    else; extract_document stays total either way."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", soup)
+    payload = buf.getvalue()
+
+    from extract_kit_ray.functions.docx import docx_to_html
+
+    try:
+        html, warnings = docx_to_html(payload)
+        assert isinstance(html, str) and isinstance(warnings, list)
+    except ValueError:
+        pass
+    rec = extract_document(payload, "https://fuzz.example/docx")
+    assert isinstance(rec["valid"], bool)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=4, max_size=512))
+def test_docx_zip_garbage_total(blob):
+    """PK-prefixed garbage must flow through extract_document as data."""
+    rec = extract_document(b"PK\x03\x04" + blob, "https://fuzz.example/zip")
+    assert isinstance(rec["valid"], bool)
