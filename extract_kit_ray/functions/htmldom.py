@@ -152,7 +152,7 @@ class _TreeBuilder(HTMLParser):
         return node
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        tag = tag.lower()
+        # both callers (stdlib HTMLParser, _fast_parse) pass lowercase
         closes = _IMPLIED_CLOSE.get(tag)
         if closes:
             while len(self.stack) > 1 and self.stack[-1].tag in closes:
@@ -165,12 +165,10 @@ class _TreeBuilder(HTMLParser):
             self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        tag = tag.lower()
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self._top())
         self._top().children.append(node)
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
         if tag in VOID_ELEMENTS:
             return
         # close up to the matching open tag; ignore if not open at all
