@@ -112,11 +112,18 @@ _DROP_TAGS = frozenset(
 )
 
 
+# collapse pattern: runs of 2+ whitespace OR a lone non-space whitespace
+# char — equivalent output to \s+ -> " " (every maximal run becomes one
+# space) but a clean single-spaced string matches NOTHING, so re.sub
+# returns it without a rebuild (the hot case: most text nodes)
+_WS_COLLAPSE_RE = re.compile(r"\s{2,}|[^\S ]")
+
+
 def _collapse_text(s: str, in_pre: bool) -> str:
     s = _CTRL_RE.sub("", s)
     if in_pre:
         return s.replace("\r\n", "\n")
-    return _WS_RE.sub(" ", s)
+    return _WS_COLLAPSE_RE.sub(" ", s)
 
 
 def join_md(left: str, right: str) -> str:
@@ -367,9 +374,12 @@ def _h_em(node: Node, ctx: _Ctx) -> str:
     return "*" + content + "*"
 
 
+_EDGE_NEWLINES_RE = re.compile(r"^\n+|\n+$")
+
+
 def _h_blockquote(node: Node, ctx: _Ctx) -> str:
     content = _fold_children(node, ctx)
-    content = re.sub(r"^\n+|\n+$", "", content)
+    content = _EDGE_NEWLINES_RE.sub("", content)
     quoted = "\n".join("> " + line for line in content.split("\n"))
     return "\n\n" + quoted + "\n\n"
 
