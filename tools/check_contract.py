@@ -85,7 +85,7 @@ def main(sf_dir: str) -> int:
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"rows  {name}: {got.num_rows} rows ({dt:.1f}s) [rows-only]")
-            if got.num_rows == 0 and name != "embedding_near_dups":
+            if got.num_rows == 0:
                 failures.append(name)
                 print(f"FAIL  {name}: 0 rows")
             continue
