@@ -33,9 +33,28 @@ CHECKED = [
     "sessionize",
     "top_docs_per_source",
     "chars_quantiles",
+    "chars_quantiles_by_lang",
     "vocab_topk",
     "distinct_lang_source",
     "segment_sales",
+    # round-2 additions
+    "extract_pdf_roundtrip",
+    "extract_docx_roundtrip",
+    "chunk_docs",
+    "content_token_counts",
+    "events_sliding",
+    "asof_last_purchase",
+    "structured_extract",
+    "lang_id",
+    "quality_signals",
+    "simhash_dups",
+    "bloom_cross_run_dups",
+    "hll_users_per_type",
+    "minhash_dedup",
+    "embedding_near_dups",
+    "term_counts_by_source",
+    "lsh_recall",
+    "ivf_recall",
 ]
 
 
@@ -97,5 +116,5 @@ def test_every_query_has_callable_and_oracle_keys():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)  # every oracle key is a real query
-    assert len(qs) >= 19
+    assert len(qs) >= 46
     assert all(callable(f) for f in qs.values())
