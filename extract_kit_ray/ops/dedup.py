@@ -341,6 +341,12 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     (key, cluster_rep, is_dup) for ALL input keys — materialized because
     cluster assignments are the (small) result, not the corpus.
 
+    PRODUCTION DEFAULT at corpus scale is
+    :func:`minhash_lsh_dedup_distributed` (join-verified candidates +
+    distributed label propagation); this variant collects signatures
+    and candidate texts driver-side and exists as the compact
+    equivalence/test oracle.
+
     Verification is two-stage: a signature-estimated Jaccard prefilter
     at (threshold - 0.2) — which keeps a true >=threshold pair with
     probability ~1 - 3e-8 per pair at n_perm=64 — then EXACT word

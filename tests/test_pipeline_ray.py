@@ -224,3 +224,34 @@ def test_read_pages_from_files(ray_session, tmp_path):
     assert rows["c.pdf"]["text"] == "pdf words"
     assert rows["a.html"]["doc_kind"] == "html"
     assert rows["b.docx"]["doc_kind"] == "docx"
+
+
+def test_job_entrypoint_end_to_end(tmp_path):
+    """jobs/run_extract.py in a fresh subprocess: full run writes all
+    parts + manifests, rerun resumes as a no-op (the `ray job submit`
+    payload, driven in local mode)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq2
+
+    from extract_kit_ray.fixtures import make_pages_table
+
+    pp = tmp_path / "pages"
+    pp.mkdir()
+    pq2.write_table(make_pages_table(120), str(pp / "p0.parquet"))
+    out = tmp_path / "out"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_ADDRESS="local",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    cmd = [sys.executable, os.path.join(repo, "jobs", "run_extract.py"),
+           "--input", str(pp), "--output", str(out),
+           "--n-parts", "4", "--address", "local"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+    stats1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert stats1["parts_written"] == [0, 1, 2, 3]
+    assert pq2.read_table(str(out)).num_rows == 120
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+    stats2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats2["resumed"] and stats2["parts_written"] == []
