@@ -160,6 +160,50 @@ _DOCX_NUMBERING = (
 )
 
 
+def q_lineage_by_domain(sf_dir: str) -> pd.DataFrame:
+    """The flagship's per-domain lineage rollup (G1/G-new) with a full
+    SQL oracle: driver docs wrapped as pages spread over 10 domains
+    (doc_id % 10), extracted, map-side-combined, grouped — doc counts,
+    valid counts and output byte sums all reconstruct exactly
+    (n_bytes_out = octet_length of the whitespace-collapsed text +
+    newline)."""
+    from .pipelines.lineage import lineage_rollup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        urls = [f"https://s{int(i) % 10}.example/{i}" for i in ids]
+        ts = [_DOC_EPOCH_US + int(i) for i in ids]
+        htmls = [
+            (
+                "<html><head><title>Doc {i}</title></head><body><article>{body}"
+                "</article></body></html>"
+            ).format(i=i, body=_html.escape(t or "")).encode("utf-8")
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(batch["lang"].to_pylist(), pa.string()),
+            }
+        )
+
+    pages = ds.map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
+    extracted = pages.map_batches(
+        HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64, **_pool(),
+    )
+    tbl = lineage_rollup(extracted)
+    df = tbl.select(["domain", "n_docs", "n_valid", "n_bytes_out"]).to_pandas()
+    return df.sort_values("domain").reset_index(drop=True)
+
+
 def _wrap_docs_as_docx(batch: pa.Table) -> pa.Table:
     """documents rows -> DOCX payloads exercising the zip preprocess +
     document.xml -> HTML -> markdown chain (SURVEY.md S9, M7-M9,
@@ -1576,6 +1620,7 @@ QUERIES = {
     "media_features": q_media_features,
     "flagship_fixture": q_flagship_fixture,
     "domain_lineage": q_domain_lineage,
+    "lineage_by_domain": q_lineage_by_domain,
     "structured_extract": q_structured_extract,
     "schema_validate": q_schema_validate,
     "layout_fanout": q_layout_fanout,
@@ -1585,6 +1630,15 @@ ORACLE_SQL = {
     "extract_html_roundtrip": (
         "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
         "FROM documents"
+    ),
+    # flagship wide shuffle: per-domain doc/valid counts + exact output
+    # byte sums over 10 synthetic domains (doc_id % 10)
+    "lineage_by_domain": (
+        "SELECT 's' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS domain, "
+        "count(*) AS n_docs, count(*) AS n_valid, "
+        "CAST(sum(octet_length(encode(regexp_replace(trim(text), '\\s+', ' ', 'g') "
+        "|| chr(10)))) AS BIGINT) AS n_bytes_out "
+        "FROM documents GROUP BY 1"
     ),
     # paragraph + bulleted list (numbering.xml) + rels-resolved
     # hyperlink, reconstructed exactly; empty docs drop the leading
