@@ -55,6 +55,7 @@ CHECKED = [
     "term_counts_by_source",
     "lsh_recall",
     "ivf_recall",
+    "lineage_by_domain",
 ]
 
 
