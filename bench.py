@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "lsh_recall",
     "ivf_recall",
     "minhash_dedup",
+    "minhash_dedup_distributed",  # the corpus-scale headline path
     "quality_signals",
     "fingerprints",
     "lang_id",

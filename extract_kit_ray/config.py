@@ -114,6 +114,35 @@ def pool_config_from_env(env=None) -> dict:
     return out
 
 
+def broadcast_max_rows(env=None) -> int:
+    """Size guard for driver-side broadcast lookup tables (dup-cluster
+    maps, candidate key sets, label maps).  Below the threshold the
+    operator collects the small side and broadcasts it into a
+    ``map_batches`` filter (one streaming pass, no shuffle); above it
+    the operator falls back to a distributed ``Dataset.join`` /
+    anti-join so the driver never holds an unbounded frame — web-corpus
+    duplicate volume is NOT small (30-50% of documents), so every
+    "bounded by dup volume" broadcast needs this escape hatch.
+
+    Default 2M rows (~50 MB of int64 keys + dict overhead); override
+    with ``EKRAY_BROADCAST_MAX_ROWS``."""
+    import os
+
+    env = os.environ if env is None else env
+    raw = env.get("EKRAY_BROADCAST_MAX_ROWS")
+    if raw is None:
+        return 2_000_000
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"EKRAY_BROADCAST_MAX_ROWS must be an integer, got {raw!r}"
+        ) from None
+    if val < 0:
+        raise ValueError(f"EKRAY_BROADCAST_MAX_ROWS must be >= 0, got {val}")
+    return val
+
+
 def validate_pdf_payload(payload: bytes, filename: str = "") -> tuple[bool, str | None]:
     """The upload gate (validation.ts:52-64): must look like a PDF (magic
     or .pdf name) and stay under 50 MB."""

@@ -45,19 +45,29 @@ def add_text_hash(batch: pa.Table, text_col: str = "text", out_col: str = "text_
     return batch.append_column(out_col + "2", pa.array([p[1] for p in pairs], pa.int64()))
 
 
-def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
+def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                broadcast_max: int | None = None, num_partitions: int = 8):
     """Keep the min-key row per distinct text (first-wins, deterministic).
 
     SQL-oracle equivalent: ``SELECT min(doc_id) ... GROUP BY text``.
 
-    Scale shape: the only shuffle moves 24-byte (hash128, key) tuples —
-    full text rows NEVER shuffle.  The duplicate-cluster table (hash ->
-    min key, only hashes with count > 1) is assumed small relative to the
-    corpus (true for web-scale dup rates) and is broadcast into a filter;
-    a ``groupby(text_hash).map_groups`` fallback covers adversarial
-    all-duplicate corpora but pays per-group Python overhead.
+    Scale shape, two-tier: the dup-cluster table (hash -> min key, only
+    hashes with count > 1) is bounded by duplicate volume.  When it fits
+    under :func:`config.broadcast_max_rows` it is collected once and
+    broadcast into a streaming filter — the only shuffle then moves
+    24-byte (hash128, key) tuples and full text rows never move.  Above
+    the threshold (web corpora run 30-50% duplicates — NOT small) the
+    keep-decision instead runs as a distributed ``left_outer`` join of
+    the rows onto the dup-cluster table: that pays ONE corpus-wide
+    hash-partition (the classic shuffle-by-content-hash dedup shape),
+    but the driver never holds an unbounded frame.
     """
     from ray.data.aggregate import Count, Min
+
+    from ..config import broadcast_max_rows
+
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
 
     hashed = ds.map_batches(
         add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
@@ -68,23 +78,54 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id"):
         .groupby(["text_hash", "text_hash2"])
         .aggregate(Min(key_col, alias_name="min_key"), Count(alias_name="n"))
     )
-    dup_rows = groups.filter(expr="n > 1").to_pandas()
-    if len(dup_rows) == 0:
+    # materialize: the count is then free metadata, and both the
+    # broadcast path and the join path read it without recompute
+    dup_groups = groups.filter(expr="n > 1").materialize()
+    n_dup_groups = dup_groups.count()
+    if n_dup_groups == 0:
         return hashed.drop_columns(["text_hash", "text_hash2"])
-    min_by_hash = dict(
-        zip(zip(dup_rows["text_hash"], dup_rows["text_hash2"]), dup_rows["min_key"])
+
+    if n_dup_groups <= broadcast_max:
+        dup_rows = dup_groups.to_pandas()
+        min_by_hash = dict(
+            zip(zip(dup_rows["text_hash"], dup_rows["text_hash2"]), dup_rows["min_key"])
+        )
+
+        def keep(batch: pa.Table) -> pa.Table:
+            h1 = batch["text_hash"].to_pylist()
+            h2 = batch["text_hash2"].to_pylist()
+            keys = batch[key_col].to_pylist()
+            mask = pa.array(
+                [min_by_hash.get((a, b), k) == k for a, b, k in zip(h1, h2, keys)]
+            )
+            return batch.filter(mask).drop_columns(["text_hash", "text_hash2"])
+
+        return hashed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    # join fallback: left_outer onto the dup-cluster table; a row
+    # survives iff its hash has no dup cluster (min_key null) or it IS
+    # the cluster's min-key row
+    dup_side = dup_groups.map_batches(
+        lambda b: pa.table({"dh1": b["text_hash"], "dh2": b["text_hash2"],
+                            "min_key": b["min_key"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = hashed.join(
+        dup_side, join_type="left_outer", num_partitions=num_partitions,
+        on=("text_hash", "text_hash2"), right_on=("dh1", "dh2"),
     )
 
-    def keep(batch: pa.Table) -> pa.Table:
-        h1 = batch["text_hash"].to_pylist()
-        h2 = batch["text_hash2"].to_pylist()
-        keys = batch[key_col].to_pylist()
-        mask = pa.array(
-            [min_by_hash.get((a, b), k) == k for a, b, k in zip(h1, h2, keys)]
-        )
-        return batch.filter(mask).drop_columns(["text_hash", "text_hash2"])
+    def keep_joined(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return hashed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        min_key = batch["min_key"]
+        mask = pc.or_kleene(pc.is_null(min_key),
+                            pc.equal(min_key, batch[key_col]))
+        return batch.filter(pc.fill_null(mask, False)).drop_columns(
+            ["text_hash", "text_hash2", "min_key"])
+
+    return joined.map_batches(keep_joined, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -265,73 +306,80 @@ def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(sig_a == sig_b))
 
 
+def _collect_agg(col: str, *, alias: str = "members"):
+    """List-collect AggregateFn: gathers a group's ``col`` values into a
+    Python list.  Singleton groups (the overwhelming majority of LSH
+    buckets) cost one cheap block-slice accumulate — no per-group pandas
+    frame, no pre-count pass."""
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_block=lambda acc, blk: acc + blk.column(col).to_pylist(),
+        name=alias,
+    )
+
+
+def _expand_member_pairs(batch: pa.Table, *, members_col: str = "members") -> pa.Table:
+    """Bucket rows (.., members: list<key>) -> unique sorted (key_a <
+    key_b) pairs, deduped batch-locally.  Giant buckets (degenerate band
+    hashes — e.g. a corpus slice of identical boilerplate) expand
+    quadratically here exactly as they would in any LSH implementation;
+    the skew remedy at corpus scale is upstream (shingle salting or
+    per-bucket sampling), not silent truncation."""
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for members in batch[members_col].to_pylist():
+        ids = sorted(set(members))
+        if len(ids) < 2:
+            continue
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+    if not out_a:
+        return pa.table({"key_a": pa.array([], pa.int64()),
+                         "key_b": pa.array([], pa.int64())})
+    df = pd.DataFrame({"key_a": out_a, "key_b": out_b}).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def minhash_lsh_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
                            n_perm: int = 64, n_bands: int = 16, concurrency=4,
                            num_cpus: float = 0.5):
-    """pages/documents Dataset -> candidate-pair Dataset
-    (key_a < key_b, est_jaccard)."""
+    """pages/documents Dataset -> (candidate-pair Dataset, signature
+    Dataset).
+
+    ONE shuffle end-to-end: band rows groupby(band_id, band_hash) with a
+    list-collect aggregate, then vectorless-but-tiny pair expansion over
+    the bucket rows.  (Round-2 used two shuffles — a count aggregate to
+    find hot buckets, broadcast into a filter, then a map_groups pair
+    expansion; the list-collect aggregate subsumes all three stages and
+    halves the fixed all-to-all cost, which dominates wall time until
+    block counts are large.)"""
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "n_perm": n_perm},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
         num_cpus=num_cpus,
     ).select_columns([key_col, "minhash"])
-    # Signatures feed three consumers (bucket counts, pair expansion,
-    # verification read-back); materialize once so MinHash isn't
-    # recomputed per consumer.  Signature volume is n_perm x 8 bytes/doc
-    # (~0.5 KB) — object-store resident with spilling at corpus scale.
+    # Signatures feed two consumers (banding, verification read-back);
+    # materialize once so MinHash isn't recomputed per consumer.
+    # Signature volume is n_perm x 8 bytes/doc (~0.5 KB) — object-store
+    # resident with spilling at corpus scale.
     sigs = sigs.materialize()
-    sig_map_ds = sigs  # reused below for verification
     bands = sigs.map_batches(
         explode_bands, fn_kwargs={"key_col": key_col, "n_bands": n_bands},
         batch_format="pyarrow",
     )
-
-    # Hot-bucket prefilter: almost every (band_id, band_hash) bucket is a
-    # singleton, and per-group map_groups pays Python overhead per group.
-    # A vectorized count-aggregate finds the buckets with >= 2 members
-    # (bounded by true-duplicate volume), which are broadcast into a
-    # filter so the per-group pair expansion only ever sees duplicates.
-    from ray.data.aggregate import Count
-
-    counts = (
-        bands.select_columns(["band_id", "band_hash"])
-        .groupby(["band_id", "band_hash"])
-        .aggregate(Count(alias_name="n"))
+    buckets = bands.groupby(["band_id", "band_hash"]).aggregate(
+        _collect_agg(key_col)
     )
-    hot = counts.filter(expr="n > 1").to_pandas()
-    if len(hot) == 0:
-        import ray.data
-
-        empty = pd.DataFrame({"key_a": pd.Series([], dtype="int64"),
-                              "key_b": pd.Series([], dtype="int64")})
-        return ray.data.from_pandas(empty), sig_map_ds
-    hot_set = frozenset(zip(hot["band_id"].tolist(), hot["band_hash"].tolist()))
-
-    def filter_hot(batch: pa.Table) -> pa.Table:
-        bids = batch["band_id"].to_pylist()
-        bhs = batch["band_hash"].to_pylist()
-        mask = pa.array([(i, h) in hot_set for i, h in zip(bids, bhs)])
-        return batch.filter(mask)
-
-    hot_bands = bands.map_batches(filter_hot, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[key_col].unique().tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        a, b = [], []
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"key_a": a, "key_b": b})
-
-    pairs = hot_bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    pairs = buckets.map_batches(
+        _expand_member_pairs, batch_format="pyarrow", zero_copy_batch=True,
     )
-    return pairs, sig_map_ds
+    return pairs, sigs
 
 
 def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
@@ -342,10 +390,13 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     cluster assignments are the (small) result, not the corpus.
 
     PRODUCTION DEFAULT at corpus scale is
-    :func:`minhash_lsh_dedup_distributed` (join-verified candidates +
-    distributed label propagation); this variant collects signatures
-    and candidate texts driver-side and exists as the compact
-    equivalence/test oracle.
+    :func:`minhash_lsh_dedup_distributed` (join/broadcast-verified
+    candidates + distributed clustering); this variant runs driver-side
+    union-find and exists as the compact equivalence/test oracle.  Its
+    collects are bounded by CANDIDATE volume, never corpus size: the
+    narrow key column (the result table itself), plus signatures and
+    texts for candidate-pair endpoints only, filtered distributed-side
+    before ``to_pandas``.
 
     Verification is two-stage: a signature-estimated Jaccard prefilter
     at (threshold - 0.2) — which keeps a true >=threshold pair with
@@ -358,28 +409,58 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
         n_bands=n_bands, concurrency=concurrency,
     )
     pairs = pairs_ds.to_pandas().drop_duplicates()
-    sig_rows = sigs_ds.to_pandas()
-    sig_by_key = {
-        int(k): np.array(s, dtype=np.int64) for k, s in
-        zip(sig_rows[key_col], sig_rows["minhash"])
-    }
-    cand = [
-        (int(ka), int(kb)) for ka, kb in
+    # the result table needs one row per key, but only the NARROW key
+    # column ever leaves the cluster — signatures and texts are fetched
+    # below for candidate-pair endpoints only (round-2 collected the
+    # full signature table AND the full text column; the collects here
+    # are bounded by candidate volume, not corpus size)
+    all_keys = sorted(
+        int(k) for k in sigs_ds.select_columns([key_col]).to_pandas()[key_col]
+    )
+    pair_list = [
+        (int(a), int(b)) for a, b in
         zip(pairs.get("key_a", []), pairs.get("key_b", []))
-        if estimated_jaccard(sig_by_key[int(ka)], sig_by_key[int(kb)])
-        >= threshold - 0.2
     ]
     keep = []
-    if cand:
-        cand_keys = {k for p in cand for k in p}
-        texts_df = ds.select_columns([key_col, text_col]).to_pandas()
-        texts_by_key = {
-            int(k): (t or "") for k, t in
-            zip(texts_df[key_col], texts_df[text_col]) if int(k) in cand_keys
+    if pair_list:
+        endpoint_keys = {k for p in pair_list for k in p}
+
+        def _filter_keys(batch: pa.Table, *, cols) -> pa.Table:
+            mask = pa.array([int(k) in endpoint_keys
+                             for k in batch[key_col].to_pylist()])
+            return batch.select(cols).filter(mask)
+
+        sig_rows = sigs_ds.map_batches(
+            _filter_keys, fn_kwargs={"cols": [key_col, "minhash"]},
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()
+        sig_by_key = {
+            int(k): np.array(s, dtype=np.int64) for k, s in
+            zip(sig_rows[key_col], sig_rows["minhash"])
         }
-        for ka, kb in cand:
-            if ngram_jaccard(texts_by_key[ka], texts_by_key[kb]) >= threshold:
-                keep.append((ka, kb))
+        cand = [
+            (ka, kb) for ka, kb in pair_list
+            if estimated_jaccard(sig_by_key[ka], sig_by_key[kb])
+            >= threshold - 0.2
+        ]
+        if cand:
+            cand_keys = {k for p in cand for k in p}
+
+            def _filter_texts(batch: pa.Table) -> pa.Table:
+                mask = pa.array([int(k) in cand_keys
+                                 for k in batch[key_col].to_pylist()])
+                return batch.select([key_col, text_col]).filter(mask)
+
+            texts_df = ds.map_batches(
+                _filter_texts, batch_format="pyarrow", zero_copy_batch=True,
+            ).to_pandas()
+            texts_by_key = {
+                int(k): (t or "") for k, t in
+                zip(texts_df[key_col], texts_df[text_col])
+            }
+            for ka, kb in cand:
+                if ngram_jaccard(texts_by_key[ka], texts_by_key[kb]) >= threshold:
+                    keep.append((ka, kb))
     # union-find over verified pairs (bounded by duplicate volume)
     parent: dict[int, int] = {}
 
@@ -394,7 +475,6 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    all_keys = sorted(sig_by_key)
     reps = [find(k) for k in all_keys]
     return pd.DataFrame(
         {key_col: all_keys, "cluster_rep": reps,
@@ -405,47 +485,65 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
 def minhash_lsh_dedup_distributed(
     ds, *, text_col: str = "text", key_col: str = "doc_id",
     n_perm: int = 64, n_bands: int = 16, threshold: float = 0.8,
-    concurrency=4, num_partitions: int = 8,
+    concurrency=4, num_partitions: int = 8, broadcast_max: int | None = None,
 ) -> pd.DataFrame:
     """Corpus-scale variant of :func:`minhash_lsh_dedup`: candidate
-    verification happens via hash joins of the signature and text
-    tables onto the pair endpoints (no driver-side maps), and
-    clustering is distributed min-label propagation
-    (ops/components.py) instead of driver union-find.  Semantics
-    identical (same exact-Jaccard arbiter); only the label table is
-    collected at the end (one row per key).
+    verification happens distributed-side (no driver-side text or
+    signature maps), and clustering is distributed hash-to-min
+    propagation (ops/components.py) instead of driver union-find.
+    Semantics identical (same exact-Jaccard arbiter); only the label
+    table is collected at the end (one row per key — the result).
+
+    Verification is two-tier on candidate-pair count (the materialized
+    pair table makes the count free): under
+    :func:`config.broadcast_max_rows`, the endpoint KEY SET (int64s
+    only, never texts) is broadcast into a streaming filter that
+    shrinks the text table to candidate endpoints before two small
+    hash joins; above it, the joins run against the full text table —
+    one corpus-wide hash-partition per side, the honest worst case.
     """
+    from ..config import broadcast_max_rows
     from .components import connected_components
+
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
 
     pairs_ds, sigs_ds = minhash_lsh_candidates(
         ds, text_col=text_col, key_col=key_col, n_perm=n_perm,
         n_bands=n_bands, concurrency=concurrency,
     )
+    # pairs are deduped batch-locally in the expansion; cross-batch dups
+    # (the same pair surfacing from different bands) are harmless for
+    # both verification and propagation (idempotent), so no global
+    # dedupe shuffle is spent on them
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
 
-    def dedupe_pairs(batch: pa.Table) -> pa.Table:
-        # batch-local dedupe; cross-batch dups are harmless for both the
-        # join verification and label propagation (idempotent)
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+    text_src = ds
+    if 0 < n_pairs <= broadcast_max:
+        endpoints = set()
+        for row in pairs_ds.take_all():
+            endpoints.add(int(row["key_a"]))
+            endpoints.add(int(row["key_b"]))
 
-    pairs_ds = pairs_ds.map_batches(dedupe_pairs, batch_format="pyarrow")
+        def _filter_endpoints(batch: pa.Table) -> pa.Table:
+            mask = pa.array([int(k) in endpoints
+                             for k in batch[key_col].to_pylist()])
+            return batch.select([key_col, text_col]).filter(mask)
 
-    # verification: ONE (key, text) join per endpoint, exact word-3-gram
-    # Jaccard as the sole arbiter (same as the driver variant and the
-    # SQL oracle).  Two joins instead of round-2-intermediate's four —
-    # each hash-shuffle join carries multi-second fixed cost — and the
-    # text sides come from the LAZY input dataset, so nothing
-    # corpus-sized materializes (the signature cache stays narrow).
-    # Candidate pairs are bounded by near-dup volume (hot-bucket
-    # prefilter), so exact Jaccard on the few banding false positives
-    # is cheaper than a dedicated signature-prefilter join round.
+        text_src = ds.map_batches(
+            _filter_endpoints, batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+
+    # ONE (key, text) join per endpoint, exact word-3-gram Jaccard as
+    # the sole arbiter (same as the driver variant and the SQL oracle).
     def _keyed_text(b: pa.Table, key_out: str, text_out: str) -> pa.Table:
         return pa.table({key_out: b[key_col], text_out: b[text_col]})
 
-    text_a = ds.map_batches(
+    text_a = text_src.map_batches(
         _keyed_text, fn_kwargs={"key_out": "key_a_t", "text_out": "text_a"},
         batch_format="pyarrow", zero_copy_batch=True)
-    text_b = ds.map_batches(
+    text_b = text_src.map_batches(
         _keyed_text, fn_kwargs={"key_out": "key_b_t", "text_out": "text_b"},
         batch_format="pyarrow", zero_copy_batch=True)
     joined = pairs_ds.join(
@@ -470,7 +568,8 @@ def minhash_lsh_dedup_distributed(
 
     verified = joined.map_batches(verify, batch_format="pyarrow")
     labels = connected_components(
-        verified, sigs_ds, key_col=key_col, num_partitions=num_partitions
+        verified, sigs_ds, key_col=key_col, num_partitions=num_partitions,
+        broadcast_max=broadcast_max,
     )
     labels["is_dup"] = labels[key_col] != labels["cluster_rep"]
     return labels.reset_index(drop=True)
@@ -546,52 +645,42 @@ def simhash_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
     bands = hashed.map_batches(explode, batch_format="pyarrow")
 
-    # hot-bucket prefilter (same rationale as minhash_lsh_candidates):
-    # only buckets with >= 2 members can emit pairs
-    from ray.data.aggregate import Count
+    # ONE shuffle (same design as minhash_lsh_candidates): groupby with
+    # a list-collect of (key, simhash) tuples, then in-batch pair
+    # expansion with the Hamming check.  Singleton buckets — the
+    # overwhelming majority — cost one cheap accumulate each; no
+    # count-prefilter pass, no broadcast hot set, no per-group pandas.
+    from ray.data.aggregate import AggregateFn
 
-    counts = (
-        bands.select_columns(["band_id", "band_key"])
-        .groupby(["band_id", "band_key"])
-        .aggregate(Count(alias_name="n"))
+    collect_members = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_block=lambda acc, blk: acc + list(
+            zip(blk.column(key_col).to_pylist(),
+                blk.column("simhash").to_pylist())
+        ),
+        name="members",
     )
-    hot = counts.filter(expr="n > 1").to_pandas()
-    if len(hot) == 0:
-        import ray.data
+    buckets = bands.groupby(["band_id", "band_key"]).aggregate(collect_members)
 
-        return ray.data.from_pandas(
-            pd.DataFrame({"key_a": pd.Series([], dtype="int64"),
-                          "key_b": pd.Series([], dtype="int64"),
-                          "hamming": pd.Series([], dtype="int64")})
-        )
-    hot_set = frozenset(zip(hot["band_id"].tolist(), hot["band_key"].tolist()))
-
-    def filter_hot(batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [(i, k) in hot_set for i, k in
-             zip(batch["band_id"].to_pylist(), batch["band_key"].to_pylist())]
-        )
-        return batch.filter(mask)
-
-    bands = bands.map_batches(filter_hot, batch_format="pyarrow", zero_copy_batch=True)
-
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group[[key_col, "simhash"]].drop_duplicates().sort_values(key_col)
-        keys = rows[key_col].tolist()
-        sigs = rows["simhash"].tolist()
+    def expand_pairs(batch: pa.Table) -> pa.Table:
         a, b, d = [], [], []
-        for i in range(len(keys) - 1):
-            for j in range(i + 1, len(keys)):
-                ham = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    a.append(keys[i])
-                    b.append(keys[j])
-                    d.append(ham)
-        return pd.DataFrame({"key_a": a, "key_b": b, "hamming": d})
+        for members in batch["members"].to_pylist():
+            rows = sorted({(int(k), int(s)) for k, s in members})
+            for i in range(len(rows) - 1):
+                for j in range(i + 1, len(rows)):
+                    ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                    if ham <= max_hamming:
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        d.append(ham)
+        df = pd.DataFrame({"key_a": pd.array(a, dtype="int64"),
+                           "key_b": pd.array(b, dtype="int64"),
+                           "hamming": pd.array(d, dtype="int64")}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return bands.groupby(["band_id", "band_key"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
+    return buckets.map_batches(expand_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -294,6 +294,69 @@ def test_minhash_distributed_on_documents(ray_session):
     assert (out["cluster_rep"] <= out["doc_id"]).all()  # rep is the min key
 
 
+def test_exact_dedup_join_fallback(dup_docs):
+    """Adversarial path: broadcast_max=0 forces the distributed
+    left_outer-join keep-decision; result must equal the broadcast
+    path's on a corpus that is mostly duplicates."""
+    from extract_kit_ray.ops.dedup import exact_dedup
+
+    kept = sorted(r["doc_id"] for r in
+                  exact_dedup(dup_docs, broadcast_max=0,
+                              num_partitions=2).take_all())
+    assert kept == [1, 3, 4, 6]
+
+
+def test_exact_dedup_join_fallback_all_dups(ray_session):
+    """Fixture corpus x2 (every text duplicated) through the join path:
+    the dup-cluster table is corpus-sized, exactly the regime the
+    broadcast guard exists for."""
+    import ray.data
+
+    from extract_kit_ray.ops.dedup import exact_dedup
+
+    rows = [{"doc_id": i, "text": f"document body number {i % 50}"}
+            for i in range(100)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    kept = sorted(r["doc_id"] for r in
+                  exact_dedup(ds, broadcast_max=0, num_partitions=2).take_all())
+    assert kept == list(range(50))
+
+
+def test_minhash_distributed_join_completion(dup_docs):
+    """broadcast_max=0 drives BOTH guarded fallbacks (full-table verify
+    joins + left_outer label completion); clustering must match the
+    broadcast path bit-for-bit."""
+    from extract_kit_ray.ops.dedup import minhash_lsh_dedup_distributed
+
+    a = minhash_lsh_dedup_distributed(dup_docs, threshold=0.6, num_partitions=2)
+    b = minhash_lsh_dedup_distributed(dup_docs, threshold=0.6, num_partitions=2,
+                                      broadcast_max=0)
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "cluster_rep", "is_dup"]].values.tolist() == \
+        b[["doc_id", "cluster_rep", "is_dup"]].values.tolist()
+
+
+def test_connected_components_chain(ray_session):
+    """Hash-to-min on a path graph (diameter > 1) plus isolated keys:
+    multi-round convergence and untouched-key completion."""
+    import ray.data
+
+    from extract_kit_ray.ops.components import connected_components
+
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"key_a": [1, 2, 3, 10], "key_b": [2, 3, 4, 11]}))
+    keys = ray.data.from_pandas(pd.DataFrame({"doc_id": list(range(1, 15))}))
+    for guard in (None, 0):
+        df = connected_components(pairs, keys, num_partitions=2,
+                                  broadcast_max=guard)
+        by = dict(zip(df["doc_id"], df["cluster_rep"]))
+        assert by[1] == by[2] == by[3] == by[4] == 1
+        assert by[10] == by[11] == 10
+        for k in (5, 6, 7, 8, 9, 12, 13, 14):
+            assert by[k] == k
+
+
 def test_asof_join_backward_and_edges(ray_session):
     """Bucketed merge_asof: backward match at-or-before, null when no
     prior right row, keys isolated, exact-timestamp matches allowed."""
