@@ -424,17 +424,16 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_bits: int = 10,
             return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
         g = group.sort_values(key_col)
         mat = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float32))
-        keys = g[key_col].tolist()
+        keys = np.asarray(g[key_col].tolist())
         sims = mat @ mat.T
-        a, b, c = [], [], []
-        n = len(keys)
-        for i in range(n - 1):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a.append(keys[i])
-                    b.append(keys[j])
-                    c.append(float(sims[i, j]))
-        return pd.DataFrame({"key_a": a, "key_b": b, "cosine": c})
+        # vectorized upper-triangle harvest — a Python pair loop is
+        # quadratic interpreter work on a dense bucket
+        ij = np.argwhere(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "key_a": keys[ij[:, 0]],
+            "key_b": keys[ij[:, 1]],
+            "cosine": sims[ij[:, 0], ij[:, 1]].astype(np.float64),
+        })
 
     out = bucketed.groupby("lsh_bucket").map_groups(pairs_in_bucket, batch_format="pandas")
     df = out.to_pandas()

@@ -135,23 +135,54 @@ def bloom_probe(bitmap: np.ndarray, keys: np.ndarray, m_bits: int,
     return bits.all(axis=1)
 
 
-def bloom_build_ds(ds, *, key_col: str, m_bits: int, k: int = BLOOM_K) -> np.ndarray:
-    """Dataset -> merged bitmap: per-batch partial bitmaps OR-reduce
-    (mergeable like HLL registers; the shuffle moves fixed-size bitmaps,
-    never keys).  The bitmap is m_bits/8 bytes total — size m_bits ~
-    BLOOM_BITS_PER_KEY * expected keys and ship it via ray.put to
-    probe-side actors."""
+def bloom_build_ds(ds, *, key_col: str, m_bits: int, k: int = BLOOM_K,
+                   fanin: int = 8) -> np.ndarray:
+    """Dataset -> merged bitmap: per-batch partial bitmaps OR-reduced in
+    a ``fanin``-ary TREE of Ray tasks (mergeable like HLL registers; the
+    exchange moves fixed-size bitmaps, never keys).  The driver receives
+    exactly ONE bitmap — round-2 ``take_all``'d every partial and OR'd
+    serially, which at m_bits ~ 16 x corpus keys ships many multi-GB
+    partials through the driver; the tree keeps partials in the object
+    store and gives log_fanin depth.  Size m_bits ~ BLOOM_BITS_PER_KEY *
+    expected keys and ship the result via ray.put to probe-side actors."""
+    import ray
+
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_numpy().astype(np.int64)
         return pa.table({"bitmap": pa.array([bloom_build(keys, m_bits, k).tobytes()],
                                             pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all()
-    bitmap = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
-    for row in parts:
-        bitmap |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return bitmap
+                           zero_copy_batch=True).materialize()
+    refs = parts.to_arrow_refs()
+
+    n_bytes = (m_bits + 7) // 8
+
+    @ray.remote
+    def or_tables(*tables) -> np.ndarray:
+        out = np.zeros(n_bytes, dtype=np.uint8)
+        for t in tables:
+            if isinstance(t, pa.Table):
+                # 0-row upstream blocks pass through map_batches without
+                # the UDF running, keeping the INPUT schema — skip them
+                if "bitmap" not in t.schema.names:
+                    continue
+                for blob in t["bitmap"].to_pylist():
+                    out |= np.frombuffer(blob, dtype=np.uint8)
+            else:  # merged ndarray from a lower tree level
+                out |= t
+        return out
+
+    if not refs:
+        return np.zeros(n_bytes, dtype=np.uint8)
+    level = list(refs)
+    while len(level) > 1:
+        level = [or_tables.remote(*level[i:i + fanin])
+                 for i in range(0, len(level), fanin)]
+    merged = ray.get(level[0])
+    if isinstance(merged, pa.Table):  # single-block input: no task ran
+        merged = ray.get(or_tables.remote(merged))
+    return merged
 
 
 def hll_distinct(ds, *, group_col: str, key_col: str, p: int = DEFAULT_P):

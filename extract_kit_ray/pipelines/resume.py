@@ -136,42 +136,55 @@ def _write_part_group(group: pa.Table, *, out_dir: str) -> pa.Table:
     })
 
 
-def read_extracted(out_dir: str) -> "ray.data.Dataset":
+def read_extracted(out_dir: str, *, broadcast_max: int | None = None) -> "ray.data.Dataset":
     """Read a completed partitioned output back as a Dataset, deduped on
     url to guard against any double-write (SURVEY.md §2.8).
 
     Scale shape (mirrors ops/dedup.exact_dedup): a Count aggregate over
     the url column finds double-written urls (normally none — manifests
-    prevent them), which are broadcast into a keep-first filter; the full
-    rows never shuffle and the happy path adds no per-group Python."""
+    prevent them).  Happy path: zero extra work.  Dups present: the dup
+    url set splits the stream — clean rows pass through untouched while
+    ONLY the dup rows (bounded by double-write volume) shuffle through a
+    groupby(url) keep-one; dup copies are byte-identical re-extractions,
+    so keeping the group's first row is correct.  (Round 2 serialized
+    the ENTIRE re-read through one seen-set actor — a 100 TB stall.)
+    Above config.broadcast_max_rows the split set can't broadcast, so
+    the whole dataset takes the groupby(url) keep-one — one corpus
+    shuffle, still fully parallel."""
     from ray.data.aggregate import Count
+
+    from ..config import broadcast_max_rows
+
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
 
     ds = ray.data.read_parquet(out_dir)
     counts = (
         ds.select_columns(["url"]).groupby("url").aggregate(Count(alias_name="n"))
     )
-    dups = counts.filter(expr="n > 1").to_pandas()
-    if len(dups) == 0:
+    dup_counts = counts.filter(expr="n > 1").materialize()
+    n_dup_urls = dup_counts.count()
+    if n_dup_urls == 0:
         return ds
-    dup_urls = frozenset(dups["url"])
 
-    class KeepFirst:
-        """Single actor (concurrency=1) so the seen-set survives across
-        batches; dup rows are byte-identical re-extractions, so keeping
-        whichever copy arrives first is correct."""
+    def _keep_one(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
 
-        def __init__(self):
-            self.seen: set[str] = set()
+    if n_dup_urls > broadcast_max:
+        return ds.groupby("url").map_groups(_keep_one, batch_format="pyarrow")
 
-        def __call__(self, batch: "pa.Table") -> "pa.Table":
-            mask = []
-            for u in batch["url"].to_pylist():
-                if u in dup_urls:
-                    if u in self.seen:
-                        mask.append(False)
-                        continue
-                    self.seen.add(u)
-                mask.append(True)
-            return batch.filter(pa.array(mask))
+    dup_urls = frozenset(dup_counts.to_pandas()["url"])
 
-    return ds.map_batches(KeepFirst, batch_format="pyarrow", concurrency=1)
+    def _split(batch: pa.Table, *, want_dups: bool) -> pa.Table:
+        mask = pa.array([(u in dup_urls) == want_dups
+                         for u in batch["url"].to_pylist()])
+        return batch.filter(mask)
+
+    clean = ds.map_batches(_split, fn_kwargs={"want_dups": False},
+                           batch_format="pyarrow", zero_copy_batch=True)
+    deduped = (
+        ds.map_batches(_split, fn_kwargs={"want_dups": True},
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("url").map_groups(_keep_one, batch_format="pyarrow")
+    )
+    return clean.union(deduped)

@@ -104,6 +104,46 @@ def test_resumable_partitioned_output(ray_session, pages_parquet, tmp_path):
     assert stats3["parts_written"] == [] and stats3["parts_cleaned"] == []
 
 
+def test_one_file_per_part_at_512_parts(ray_session, pages_parquet, tmp_path):
+    """High part-count guard: B blocks x P parts must NOT explode into
+    B*P files — the groupby(part) writer yields exactly one data file
+    per non-empty part, even at n_parts=512 with tiny parts."""
+    from extract_kit_ray.pipelines.resume import run_partitioned_extract
+
+    out = str(tmp_path / "out512")
+    stats = run_partitioned_extract(pages_parquet, out, n_parts=512, concurrency=2)
+    data_files = glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    assert len(data_files) == len(stats["parts_written"])
+    per_dir = {}
+    for f in data_files:
+        d = os.path.basename(os.path.dirname(f))
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert all(n == 1 for n in per_dir.values())
+    assert pq.read_table(out).num_rows == 300
+
+
+def test_read_extracted_dedup_parallel(ray_session, pages_parquet, tmp_path):
+    """Double-write guard: a duplicated part file must dedupe on url in
+    BOTH regimes — split+groupby under the broadcast guard, and the
+    full groupby(url) keep-one fallback (broadcast_max=0)."""
+    import shutil
+
+    from extract_kit_ray.pipelines.resume import read_extracted, run_partitioned_extract
+
+    out = str(tmp_path / "outdup")
+    run_partitioned_extract(pages_parquet, out, n_parts=4, concurrency=2)
+    # simulate a torn double-write: clone part 0's data file
+    src = glob.glob(os.path.join(out, "part=0", "*.parquet"))[0]
+    shutil.copy(src, os.path.join(out, "part=0", "data-dup.parquet"))
+    raw = pq.read_table(out).num_rows
+    assert raw > 300
+    for guard in (None, 0):
+        ds = read_extracted(out, broadcast_max=guard)
+        urls = [r["url"] for r in ds.select_columns(["url"]).take_all()]
+        assert len(urls) == 300
+        assert len(set(urls)) == 300
+
+
 def test_detect_stage(ray_session, pages_parquet):
     import ray.data
 
