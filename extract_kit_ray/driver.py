@@ -353,10 +353,13 @@ def q_layout_fanout_roundtrip(sf_dir: str) -> "ray.data.Dataset":
 
 def _wrap_docs_as_pdf(batch: pa.Table) -> pa.Table:
     """documents rows -> REAL binary PDFs (40 words/page, one Tj run per
-    word, same geometry as the ek-layout wrap) — even doc_ids get
-    FlateDecode-compressed content streams, odd ones raw, so both
-    decode paths carry the byte-identity oracle."""
-    from .functions.pdf_text import make_pdf
+    word, same geometry as the ek-layout wrap) — doc_id % 3 == 0 rows
+    become Type0/CID-font PDFs whose hex strings only decode through
+    the embedded /ToUnicode CMap (the Word/LaTeX subset-font shape);
+    of the rest, even doc_ids get FlateDecode-compressed content
+    streams and odd ones raw, so all three decode paths carry the
+    byte-identity oracle."""
+    from .functions.pdf_text import make_cid_pdf, make_pdf
 
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
@@ -371,7 +374,10 @@ def _wrap_docs_as_pdf(batch: pa.Table) -> pa.Table:
             pages.append(
                 [(w, 72.0 + 40.0 * j, 720.0) for j, w in enumerate(chunk)]
             )
-        payloads.append(make_pdf(pages, compress=(int(i) % 2 == 0)))
+        if int(i) % 3 == 0:
+            payloads.append(make_cid_pdf(pages, compress=(int(i) % 2 == 0)))
+        else:
+            payloads.append(make_pdf(pages, compress=(int(i) % 2 == 0)))
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),

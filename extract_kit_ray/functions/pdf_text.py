@@ -21,8 +21,11 @@ Scope (deterministic, documented):
 - positioning via ``BT/ET``, ``Tm``, ``Td``, ``TD``, ``T*``, ``TL``;
   runs carry the text-line origin so the x/y line merge groups and
   orders them exactly like ek-layout runs
-- strings decode as UTF-8 with Latin-1 fallback; CID fonts /
-  ToUnicode glyph remapping are OUT of scope (they need font tables)
+- strings decode as UTF-8 with Latin-1 fallback; fonts carrying a
+  /ToUnicode CMap (CID/composite subset fonts — most Word/LaTeX
+  output) decode through the CMap (``beginbfchar``/``beginbfrange``,
+  codespace-derived code width), tracked per page via /Resources
+  (with /Pages inheritance) and the ``Tf`` operator
 
 Raises ValueError on payloads outside this scope (callers convert to
 failure-as-data rows, extract.py contract).
@@ -33,7 +36,7 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.S)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
@@ -45,10 +48,54 @@ _WS = b"\x00\t\n\x0c\r "
 
 def _objects(data: bytes) -> dict[int, bytes]:
     """All indirect objects, keyed by object number (last wins —
-    incremental-update semantics)."""
+    incremental-update semantics).
+
+    Stream-aware scan: compressed stream bodies are arbitrary bytes and
+    can contain the literal sequences ``endobj`` / ``N G obj``, so a
+    flat regex scan truncates objects mid-stream (round-2 advisor
+    finding).  When a ``stream`` keyword appears before the candidate
+    ``endobj``, the scan jumps over ``/Length`` bytes (or to
+    ``endstream`` when /Length is an indirect ref) before resuming the
+    search."""
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
+    pos = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(data, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        i = body_start
+        end = -1
+        while True:
+            e = data.find(b"endobj", i)
+            s = data.find(b"stream", i)
+            if s != -1 and (e == -1 or s < e):
+                if data[s - 3 : s] == b"end":  # matched inside 'endstream'
+                    i = s + len(b"stream")
+                    continue
+                j = s + len(b"stream")
+                if data[j : j + 2] == b"\r\n":
+                    j += 2
+                elif data[j : j + 1] in (b"\n", b"\r"):
+                    j += 1
+                lm = _LENGTH_RE.search(data, body_start, s)
+                if lm:
+                    j += int(lm.group(1))
+                # trust /Length to jump over stream bytes that fake an
+                # 'endstream', but fall back to the first real one when
+                # the declared length overshoots (malformed writers)
+                es = data.find(b"endstream", j)
+                if es == -1:
+                    es = data.find(b"endstream", s + len(b"stream"))
+                i = es + len(b"endstream") if es != -1 else j
+                continue
+            end = e
+            break
+        if end == -1:
+            break
+        objs[num] = data[body_start:end]
+        pos = end + len(b"endobj")
     if not objs:
         raise ValueError("no PDF objects found")
     return objs
@@ -98,8 +145,127 @@ def _stream_data(body: bytes) -> bytes | None:
     return raw
 
 
-def _page_content_objs(objs: dict[int, bytes]) -> list[list[int]]:
-    """Page tree walk: per page, the list of content-stream object ids.
+def _inline_dict(body: bytes, name: bytes) -> bytes | None:
+    """Balanced ``/Name << ... >>`` extraction (nested dicts supported —
+    a non-greedy regex truncates at the first ``>>``)."""
+    m = re.search(rb"/" + name + rb"\s*<<", body)
+    if m is None:
+        return None
+    i = m.end()
+    depth = 1
+    n = len(body)
+    start = i
+    while i < n and depth > 0:
+        if body[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif body[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return body[start : i - 2] if depth == 0 else None
+
+
+_MAX_BFRANGE = 1 << 16
+
+
+def parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """ToUnicode CMap stream -> (code byte-width, {code: unicode str}).
+
+    Supports ``begincodespacerange`` (code width from hex token length),
+    ``beginbfchar`` (src -> UTF-16BE dst) and ``beginbfrange`` in both
+    forms (incrementing base ``<lo> <hi> <dst>`` and explicit array
+    ``<lo> <hi> [<d1> <d2> ...]``).  ISO 32000 §9.10.3; ranges capped at
+    2^16 entries for totality on hostile input."""
+    code_len = 2
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        h = re.search(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if h:
+            code_len = max(1, len(h.group(1)) // 2)
+    mapping: dict[int, str] = {}
+
+    def dst_text(hx: bytes) -> str:
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("latin-1")).decode("utf-16-be", "replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            mapping[int(src, 16)] = dst_text(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for e in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(\[[^\]]*\]|<[0-9A-Fa-f]+>)", m.group(1)):
+            lo, hi = int(e.group(1), 16), int(e.group(2), 16)
+            if hi < lo or hi - lo >= _MAX_BFRANGE:
+                continue
+            tgt = e.group(3)
+            if tgt.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", tgt)
+                for off, d in enumerate(dsts):
+                    if lo + off > hi:
+                        break
+                    mapping[lo + off] = dst_text(d)
+            else:
+                base = bytearray.fromhex(tgt[1:-1].decode("latin-1"))
+                if len(base) < 2:
+                    base = bytearray(2 - len(base)) + base
+                last = int.from_bytes(base[-2:], "big")
+                for off in range(hi - lo + 1):
+                    dst = bytes(base[:-2]) + ((last + off) & 0xFFFF).to_bytes(2, "big")
+                    mapping[lo + off] = dst.decode("utf-16-be", "replace")
+    return code_len, mapping
+
+
+def _font_maps(objs: dict[int, bytes], res_body: bytes | None) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """Page /Resources -> {font name (b"F1"): (code width, ToUnicode
+    map)} for fonts that carry a /ToUnicode CMap; simple fonts without
+    one are absent (their strings decode via :func:`_decode_text`)."""
+    if res_body is None:
+        return {}
+    font_dict = _inline_dict(res_body, b"Font")
+    if font_dict is None:
+        ref = _dict_ref(res_body, b"Font")
+        if ref is not None and ref in objs:
+            font_dict = objs[ref]
+    if font_dict is None:
+        return {}
+    out: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for fm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R\b", font_dict):
+        name, ref = fm.group(1), int(fm.group(2))
+        if ref not in objs:
+            continue
+        tu = _dict_ref(objs[ref], b"ToUnicode")
+        if tu is None or tu not in objs:
+            continue
+        try:
+            stream = _stream_data(objs[tu])
+        except ValueError:
+            continue
+        if stream is None:
+            continue
+        out[name] = parse_tounicode(stream)
+    return out
+
+
+def _resources_body(objs: dict[int, bytes], body: bytes,
+                    inherited: bytes | None) -> bytes | None:
+    """A page node's /Resources (inline dict or ref), else the inherited
+    one from its /Pages ancestors (ISO 32000 §7.8.3 inheritance)."""
+    inline = _inline_dict(body, b"Resources")
+    if inline is not None:
+        return inline
+    ref = _dict_ref(body, b"Resources")
+    if ref is not None and ref in objs:
+        return objs[ref]
+    return inherited
+
+
+def _page_content_objs(objs: dict[int, bytes]) -> list[tuple[list[int], dict]]:
+    """Page tree walk: per page, (content-stream object ids, font map).
 
     Falls back to one pseudo-page per stream object containing a ``BT``
     text block when the catalog/page tree is absent or malformed."""
@@ -108,19 +274,22 @@ def _page_content_objs(objs: dict[int, bytes]) -> list[list[int]]:
         if re.search(rb"/Type\s*/Catalog\b", body):
             catalog = body
             break
-    pages: list[list[int]] = []
+    pages: list[tuple[list[int], dict]] = []
     if catalog is not None:
         root_ref = _dict_ref(catalog, b"Pages")
 
-        def walk(ref: int, depth: int = 0) -> None:
+        def walk(ref: int, depth: int = 0, res: bytes | None = None) -> None:
             if depth > 32 or ref not in objs:
                 return
             body = objs[ref]
             if re.search(rb"/Type\s*/Pages\b", body):
+                res = _resources_body(objs, body, res)
                 for kid in _dict_refs(body, b"Kids"):
-                    walk(kid, depth + 1)
+                    walk(kid, depth + 1, res)
             elif re.search(rb"/Type\s*/Page\b", body):
-                pages.append(_dict_refs(body, b"Contents"))
+                res = _resources_body(objs, body, res)
+                pages.append((_dict_refs(body, b"Contents"),
+                              _font_maps(objs, res)))
 
         if root_ref is not None:
             walk(root_ref)
@@ -129,7 +298,7 @@ def _page_content_objs(objs: dict[int, bytes]) -> list[list[int]]:
         for num in sorted(objs):
             data = _stream_data(objs[num])
             if data is not None and b"BT" in data:
-                pages.append([num])
+                pages.append(([num], {}))
     if not pages:
         raise ValueError("no pages with text content found")
     return pages
@@ -206,19 +375,36 @@ def _decode_text(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
-def extract_runs(content: bytes) -> list[dict]:
+def _decode_cid(raw: bytes, code_len: int, cmap: dict[int, str]) -> str:
+    """Fixed-width CID string -> unicode via the font's ToUnicode map;
+    unmapped codes become U+FFFD (pdfminer behavior)."""
+    out = []
+    for k in range(0, len(raw) - code_len + 1, code_len):
+        out.append(cmap.get(int.from_bytes(raw[k : k + code_len], "big"), "�"))
+    return "".join(out)
+
+
+def extract_runs(content: bytes, fonts: dict[bytes, tuple[int, dict[int, str]]] | None = None) -> list[dict]:
     """Interpret one content stream: text-showing ops -> layout runs.
 
     Run x/y is the current text-line origin (Tm translation + Td/TD/T*
     accumulation); after each shown string x advances by a nominal
     per-char width — enough for the within-line (x, index) ordering of
-    the line merge, which does not need true font metrics."""
+    the line merge, which does not need true font metrics.
+
+    ``fonts`` maps font resource names to (code width, ToUnicode map);
+    ``Tf`` tracks the current font, and strings shown under a
+    ToUnicode-carrying font (CID/composite fonts — the common case for
+    Word/LaTeX-produced PDFs with subset fonts) decode through the CMap
+    instead of the UTF-8/Latin-1 byte heuristic."""
     runs: list[dict] = []
     i, n = 0, len(content)
     operands: list[tuple[str, object]] = []
     x = y = lx = ly = 0.0
     leading = 0.0
     in_text = False
+    fonts = fonts or {}
+    cur_font: tuple[int, dict[int, str]] | None = None
 
     def nums(k: int) -> list[float]:
         vals = [v for t, v in operands if t == "num"]
@@ -226,7 +412,10 @@ def extract_runs(content: bytes) -> list[dict]:
 
     def show(s: bytes) -> None:
         nonlocal x
-        text = _decode_text(s)
+        if cur_font is not None:
+            text = _decode_cid(s, cur_font[0], cur_font[1])
+        else:
+            text = _decode_text(s)
         if text:
             runs.append({"text": text, "x": x, "y": y})
             x += 6.0 * len(text)
@@ -278,7 +467,11 @@ def extract_runs(content: bytes) -> list[dict]:
             continue
         op = m.group(0)
         i += len(m.group(0))
-        if op == b"BT":
+        if op == b"Tf":
+            names = [v for t, v in operands if t == "name"]
+            if names:
+                cur_font = fonts.get(names[-1][1:])  # strip leading '/'
+        elif op == b"BT":
             in_text = True
             x = y = lx = ly = 0.0
         elif op == b"ET":
@@ -335,14 +528,14 @@ def pdf_to_layout_pages(payload: bytes) -> list[dict]:
         raise ValueError("not a PDF payload")
     objs = _objects(payload)
     pages = []
-    for content_refs in _page_content_objs(objs):
+    for content_refs, fonts in _page_content_objs(objs):
         parts = []
         for ref in content_refs:
             if ref in objs:
                 data = _stream_data(objs[ref])
                 if data is not None:
                     parts.append(data)
-        runs = extract_runs(b"\n".join(parts)) if parts else []
+        runs = extract_runs(b"\n".join(parts), fonts) if parts else []
         pages.append({"runs": runs})
     return pages
 
@@ -394,6 +587,111 @@ def make_pdf(pages: list[list[tuple[str, float, float]]], *, compress: bool = Fa
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_pos))
+    return bytes(buf)
+
+
+def make_cid_pdf(pages: list[list[tuple[str, float, float]]], *,
+                 compress: bool = True) -> bytes:
+    """Build a PDF whose text uses a Type0 (CID) font with a /ToUnicode
+    CMap — the subset-font shape Word/LaTeX exporters emit, where text
+    strings are 2-byte codes meaningless without the CMap.  Codes are
+    assigned per unique character in first-seen order starting at 1;
+    the CMap mixes ``bfrange`` (contiguous unicode runs) and ``bfchar``
+    (singletons), exercising both decode forms.  Deterministic for
+    fixture oracles."""
+    # code assignment: first-seen order across all page texts
+    code_of: dict[str, int] = {}
+    for runs in pages:
+        for text, _, _ in runs:
+            for ch in text:
+                if ch not in code_of:
+                    code_of[ch] = len(code_of) + 1
+
+    # CMap entries: walk codes in order, emitting a bfrange whenever
+    # consecutive codes map to consecutive code units, else a bfchar
+    items = sorted((c, ch) for ch, c in code_of.items())
+    bfranges: list[bytes] = []
+    bfchars: list[bytes] = []
+    i = 0
+    while i < len(items):
+        j = i
+        while (j + 1 < len(items)
+               and items[j + 1][0] == items[j][0] + 1
+               and len(items[j][1]) == 1 and len(items[j + 1][1]) == 1
+               and ord(items[j + 1][1]) == ord(items[j][1]) + 1):
+            j += 1
+        if j > i:
+            lo, hi = items[i][0], items[j][0]
+            dst = items[i][1].encode("utf-16-be").hex().upper().encode()
+            bfranges.append(b"<%04X> <%04X> <%s>" % (lo, hi, dst))
+        else:
+            c, ch = items[i]
+            dst = ch.encode("utf-16-be").hex().upper().encode()
+            bfchars.append(b"<%04X> <%s>" % (c, dst))
+        i = j + 1
+
+    cmap_parts = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin begincmap",
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange",
+    ]
+    if bfranges:
+        cmap_parts.append(b"%d beginbfrange\n%s\nendbfrange"
+                          % (len(bfranges), b"\n".join(bfranges)))
+    if bfchars:
+        cmap_parts.append(b"%d beginbfchar\n%s\nendbfchar"
+                          % (len(bfchars), b"\n".join(bfchars)))
+    cmap_parts.append(b"endcmap end end")
+    cmap = b"\n".join(cmap_parts)
+
+    objects: list[bytes] = []
+    n_pages = len(pages)
+    font_obj = 3 + 2 * n_pages
+    tounicode_obj = font_obj + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, runs in enumerate(pages):
+        page_obj = 3 + 2 * i
+        content_obj = page_obj + 1
+        objects.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_obj} 0 R /Resources << /Font << /F1 "
+            f"{font_obj} 0 R >> >> >>".encode())
+        parts = [b"BT\n/F1 12 Tf"]
+        for text, rx, ry in runs:
+            hexcodes = b"".join(b"%04X" % code_of[ch] for ch in text)
+            parts.append(b"1 0 0 1 %.2f %.2f Tm <%s> Tj" % (rx, ry, hexcodes))
+        parts.append(b"ET")
+        stream = b"\n".join(parts)
+        if compress:
+            data = zlib.compress(stream)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            data = stream
+            head = b"<< /Length %d >>" % len(data)
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /EKRaySubset "
+        b"/Encoding /Identity-H /ToUnicode %d 0 R >>" % tounicode_obj)
+    cmap_data = zlib.compress(cmap) if compress else cmap
+    filt = b" /Filter /FlateDecode" if compress else b""
+    objects.append(b"<< /Length %d%s >>\nstream\n" % (len(cmap_data), filt)
+                   + cmap_data + b"\nendstream")
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
         offsets.append(len(buf))

@@ -11,7 +11,9 @@ from extract_kit_ray.functions.extract import extract_document
 from extract_kit_ray.functions.pdf_layout import assemble_page_text
 from extract_kit_ray.functions.pdf_text import (
     extract_runs,
+    make_cid_pdf,
     make_pdf,
+    parse_tounicode,
     pdf_to_layout_pages,
 )
 
@@ -113,6 +115,59 @@ def test_fallback_without_page_tree():
     raw = (b"%PDF-1.4\n7 0 obj\n<< /Length 31 >>\nstream\n"
            b"BT 1 0 0 1 72 720 Tm (x) Tj ET\nendstream\nendobj\n")
     assert _texts(raw) == ["x"]
+
+
+def test_cid_font_tounicode_roundtrip():
+    """Type0/CID font with ToUnicode CMap (the Word/LaTeX subset-font
+    shape): 2-byte hex-string codes decode through bfrange + bfchar,
+    byte-identical text and geometry, compressed and raw."""
+    pages = [[("Hello, CID world! ÄÖÜ", 72.0, 700.0),
+              ("second line with — dash", 72.0, 680.0)],
+             [("page two käffee", 72.0, 700.0)]]
+    for compress in (True, False):
+        out = pdf_to_layout_pages(make_cid_pdf(pages, compress=compress))
+        got = [[(r["text"], r["x"], r["y"]) for r in p["runs"]] for p in out]
+        assert got == [[(t, x, y) for t, x, y in pg] for pg in pages]
+
+
+def test_parse_tounicode_forms():
+    """All three CMap entry forms: codespace width, bfchar, incrementing
+    bfrange, and array-form bfrange; hostile giant range skipped."""
+    cmap = b"""
+    1 begincodespacerange <0000> <FFFF> endcodespacerange
+    2 beginbfchar
+    <0001> <0041>
+    <0002> <00E4>
+    endbfchar
+    1 beginbfrange
+    <0010> <0012> <0061>
+    <0020> <0021> [<0058> <0059>]
+    <0100> <FFFF> <0030>
+    endbfrange
+    """
+    width, m = parse_tounicode(cmap)
+    assert width == 2
+    assert m[1] == "A" and m[2] == "ä"
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+    assert (m[0x20], m[0x21]) == ("X", "Y")
+    assert m[0x100] == "0" and m[0x1FF] == "į"  # big range still capped-safe
+
+
+def test_unknown_cid_becomes_replacement_char():
+    pdf = make_cid_pdf([[("ab", 10.0, 10.0)]], compress=False)
+    # splice an unmapped code into the hex string: <0001 0002> -> <0001 00FF>
+    bad = pdf.replace(b"<00010002>", b"<000100FF>")
+    out = pdf_to_layout_pages(bad)
+    assert out[0]["runs"][0]["text"] == "a�"
+
+
+def test_endobj_inside_stream_body_does_not_truncate():
+    """Raw stream bytes containing 'endobj' / 'N 0 obj' (guaranteed
+    verbatim with compress=False) must not break the object scan."""
+    evil = [[("x endobj trap 7 0 obj y", 10.0, 10.0)]]
+    for compress in (False, True):
+        out = pdf_to_layout_pages(make_pdf(evil, compress=compress))
+        assert out[0]["runs"][0]["text"] == "x endobj trap 7 0 obj y"
 
 
 def test_extract_document_real_pdf():
