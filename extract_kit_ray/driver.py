@@ -1415,13 +1415,21 @@ def q_segment_sales(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+_N_MEDIA = 240
+
+
 def q_media_features(sf_dir: str) -> "ray.data.Dataset":
-    """Multimodal plumbing demo over a deterministic synthetic media table
-    (driver testdata has no binary media; generator is seed-fixed)."""
-    ds = ray.data.from_arrow(make_media_table(240))
+    """Multimodal decode/optimize over a deterministic synthetic media
+    table (driver testdata has no binary media): REAL PNG decode ->
+    budget resize -> contrast -> re-encode for images, REAL WAV header
+    parse for audio, stubbed video.  Every projected column is
+    closed-form in media_id (ops/multimodal.py geometry constants), so
+    the DuckDB oracle reconstructs the full expected table from
+    range()."""
+    ds = ray.data.from_arrow(make_media_table(_N_MEDIA))
     return extract_media_features(ds, model="pixtral", concurrency=2).select_columns(
         ["media_id", "kind", "decoded_width", "decoded_height",
-         "target_width", "target_height", "valid"]
+         "target_width", "target_height", "duration_ms_out", "n_frames", "valid"]
     )
 
 
@@ -1973,6 +1981,52 @@ SELECT a AS doc_id, min(b) < a AS is_dup FROM reach GROUP BY a
 
 ORACLE_SQL["minhash_dedup"] = _MINHASH_ORACLE
 ORACLE_SQL["minhash_dedup_distributed"] = _MINHASH_ORACLE
+
+
+def _media_oracle() -> str:
+    """Expected media_features table rebuilt from the closed-form
+    fixture geometry (ops/multimodal.py IMG_W/IMG_H/WAV_SAMPLES/
+    WAV_RATE/VID_DUR_MS — change together).  The resize arithmetic
+    mirrors resize_plan exactly: sqrt-scale both dims when pixels
+    exceed the pixtral budget, floor, never upscale; audio duration is
+    integer-floor sample math; video frame count is the 1 fps sample
+    plan capped at 32."""
+    budget = 1024 * 1024  # PIXEL_BUDGETS['pixtral']
+    return f"""
+WITH m AS (
+  SELECT i AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (i % 17 = 13) AS empty,
+         400 + (i * 97) % 800 AS iw,
+         300 + (i * 131) % 700 AS ih,
+         1000 + (i * 331) % 16000 AS nsamp,
+         8000 + (i % 8) * 1000 AS rate,
+         1000 + (i * 37) % 59000 AS vdur
+  FROM range({_N_MEDIA}) t(i)
+)
+SELECT media_id, kind,
+  CAST(CASE WHEN NOT empty AND kind = 'image' THEN iw ELSE -1 END AS INTEGER) AS decoded_width,
+  CAST(CASE WHEN NOT empty AND kind = 'image' THEN ih ELSE -1 END AS INTEGER) AS decoded_height,
+  CAST(CASE WHEN empty OR kind <> 'image' THEN -1
+       WHEN iw * ih <= {budget} THEN iw
+       ELSE GREATEST(1, CAST(FLOOR(iw * SQRT({budget} / (CAST(iw AS DOUBLE) * ih))) AS INTEGER))
+       END AS INTEGER) AS target_width,
+  CAST(CASE WHEN empty OR kind <> 'image' THEN -1
+       WHEN iw * ih <= {budget} THEN ih
+       ELSE GREATEST(1, CAST(FLOOR(ih * SQRT({budget} / (CAST(iw AS DOUBLE) * ih))) AS INTEGER))
+       END AS INTEGER) AS target_height,
+  CAST(CASE WHEN empty THEN -1
+       WHEN kind = 'audio' THEN (nsamp * 1000) // rate
+       WHEN kind = 'video' THEN vdur
+       ELSE -1 END AS INTEGER) AS duration_ms_out,
+  CAST(CASE WHEN NOT empty AND kind = 'video'
+       THEN LEAST(32, (vdur + 999) // 1000) ELSE 0 END AS INTEGER) AS n_frames,
+  NOT empty AS valid
+FROM m ORDER BY media_id
+"""
+
+
+ORACLE_SQL["media_features"] = _media_oracle()
 
 
 def _sql_strlist(words) -> str:

@@ -1,13 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode step is STUBBED (no image/audio codec libraries in this
-container — driver brief permits a clearly-marked deterministic fake):
-``DecodeStub`` derives byte-level pseudo-features (dimensions, a
-fixed-length feature vector from hashed byte windows).  The Ray-side
-plumbing — schema, small batch sizes for large binaries, actor
-signature, output layout — is real and tested; swapping the stub for
-PIL/ffmpeg later changes only the ``_decode`` body.
+Decode support per kind (round 3 — the pixel path is REAL now):
+
+- **image/png**: pure-Python PNG codec (functions/png.py, zlib +
+  numpy) — decode, optional center-crop, budget resize
+  (nearest-neighbor), percentile contrast stretch, PNG re-encode with
+  actual before/after byte metrics.  This makes M15-M18 honest
+  end-to-end; other image formats (JPEG needs a DCT codec this
+  container lacks) raise ValueError -> failure-as-data.
+- **audio/wav**: real RIFF/WAVE header parse (PCM fmt chunk) —
+  sample rate, channels, bit depth, duration from the data chunk.
+- **video**: deterministic STUB (no ffmpeg in this container — driver
+  brief permits a clearly-marked fake): dimensions unknown (-1), the
+  frame-sample plan derives from the declared duration_ms column.
 
 Analogous reference stages: the Sharp image-optimization worker chain
 (packages/pdf-processor/src/core/vision/image-optimization.ts:28-175,
@@ -17,10 +23,19 @@ with per-model pixel budgets (image-optimization.ts:202-224).
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import hash64
+from ..functions.png import (
+    center_crop,
+    contrast_stretch,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -40,25 +55,78 @@ FEATURE_DIM = 32
 PIXEL_BUDGETS = {"pixtral": 1024 * 1024, "mistral": 1540 * 1540, "default": 2048 * 2048}
 
 
-def _decode(payload: bytes) -> dict:
-    """STUB decode — deterministic fake.
-
-    Real implementation would be PIL/ffmpeg; unavailable here. Emits
-    stable pseudo-dimensions and a FEATURE_DIM float vector derived from
-    blake2b-hashed byte windows, so downstream plumbing (resize budget,
-    feature join, ANN) is fully exercisable."""
-    if not payload:
-        raise ValueError("empty media payload")
-    h = hash64(payload)
-    width = 256 + (h & 0x3FF)
-    height = 256 + ((h >> 10) & 0x3FF)
+def _byte_features(payload: bytes) -> np.ndarray:
+    """FEATURE_DIM float vector from blake2b-hashed byte windows — the
+    content-opaque feature stand-in for kinds without a real decoder."""
     n = max(1, len(payload) // FEATURE_DIM)
-    feats = np.array(
+    return np.array(
         [hash64(payload[i * n : (i + 1) * n], seed=i) % 10_000 / 10_000.0
          for i in range(FEATURE_DIM)],
         dtype=np.float32,
     )
-    return {"width": int(width), "height": int(height), "features": feats}
+
+
+def _pixel_features(arr: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM-bin normalized luminance histogram — a real (if
+    simple) content feature from actual pixels."""
+    if arr.ndim == 3:
+        lum = (arr.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                 dtype=np.float32))
+    else:
+        lum = arr.astype(np.float32)
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0.0, 256.0))
+    total = max(1, int(hist.sum()))
+    return (hist / total).astype(np.float32)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real minimal RIFF/WAVE PCM parse: sample_rate, channels,
+    bits_per_sample from the ``fmt `` chunk; duration_ms from the
+    ``data`` chunk byte length (floor, integer math — SQL-mirrorable)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data_len = None
+    n = len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data_len = len(body)
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _audio_fmt, channels, sample_rate, _byte_rate, _align, bits = fmt
+    if channels < 1 or sample_rate < 1 or bits < 1:
+        raise ValueError("WAV malformed fmt chunk")
+    n_samples = data_len // (channels * (bits // 8 or 1))
+    return {
+        "sample_rate": int(sample_rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "duration_ms": int(n_samples * 1000 // sample_rate),
+    }
+
+
+def make_wav(n_samples: int, sample_rate: int = 8000, *,
+             channels: int = 1, bits: int = 16, seed: int = 0) -> bytes:
+    """Deterministic PCM WAV writer (square wave) for fixtures."""
+    frame = channels * (bits // 8)
+    t = np.arange(n_samples)
+    wave = (((t * (110 + seed % 7) // sample_rate) % 2) * 2 - 1)
+    amp = (1 << (bits - 2)) - 1
+    samples = (wave * amp).astype("<i2" if bits == 16 else "<i1")
+    data = np.repeat(samples[:, None], channels, axis=1).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * frame, frame, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def resize_plan(width: int, height: int, model: str = "default") -> tuple[int, int]:
@@ -127,14 +195,20 @@ def encode_metrics(original_size: int, target_w: int, target_h: int,
 
 
 class MediaFeatureExtractor:
-    """Actor-pool stage: decode(stub) -> features + resize plan.
+    """Actor-pool stage: per-kind decode -> REAL pixel chain for PNG
+    images (decode -> optional center-crop -> budget resize -> contrast
+    stretch -> PNG re-encode with actual byte metrics), WAV header
+    parse for audio, deterministic stub for video.
 
     Use small ``batch_size`` (<= 16) — binary payloads are large and a
     batch x concurrency must fit worker heaps (ray_guide.md memory
     notes)."""
 
-    def __init__(self, model: str = "default"):
+    def __init__(self, model: str = "default", crop_size: float | None = None,
+                 enhance_contrast: bool = True):
         self.model = model
+        self.crop_size = crop_size
+        self.enhance = enhance_contrast
 
     _METRICS_TYPE = pa.struct(
         [
@@ -145,27 +219,91 @@ class MediaFeatureExtractor:
         ]
     )
 
+    def _image_row(self, payload: bytes) -> dict:
+        arr = decode_png(payload)
+        h, w = arr.shape[:2]
+        out = arr
+        plan = center_crop_plan(w, h, self.crop_size) if self.crop_size else None
+        if plan is not None:
+            out = center_crop(out, plan)
+        tw, th = resize_plan(out.shape[1], out.shape[0], self.model)
+        out = resize_nearest(out, tw, th)
+        if self.enhance:
+            out = contrast_stretch(out, CONTRAST_LOW_P, CONTRAST_HIGH_P)
+        optimized = encode_png(out)
+        ratio = len(payload) / max(1, len(optimized))
+        return {
+            "width": w, "height": h, "tw": tw, "th": th,
+            "duration_ms": -1, "n_frames": 0,
+            "features": _pixel_features(out),
+            "metrics": {"original_size": len(payload),
+                        "optimized_size": len(optimized),
+                        "compression_ratio": float(round(ratio, 6)),
+                        "quality": JPEG_QUALITY},
+        }
+
+    def _audio_row(self, payload: bytes) -> dict:
+        d = decode_wav(payload)
+        return {
+            "width": -1, "height": -1, "tw": -1, "th": -1,
+            "duration_ms": d["duration_ms"], "n_frames": 0,
+            "features": _byte_features(payload),
+            "metrics": {"original_size": len(payload),
+                        "optimized_size": len(payload),
+                        "compression_ratio": 1.0, "quality": -1},
+        }
+
+    def _video_row(self, payload: bytes, declared_duration: int) -> dict:
+        # STUB (no ffmpeg): dimensions unknowable; the frame-sample plan
+        # comes from the declared duration metadata
+        if not payload:
+            raise ValueError("empty media payload")
+        stamps = frame_sample_plan(declared_duration)
+        return {
+            "width": -1, "height": -1, "tw": -1, "th": -1,
+            "duration_ms": int(declared_duration), "n_frames": len(stamps),
+            "features": _byte_features(payload),
+            "metrics": {"original_size": len(payload),
+                        "optimized_size": len(payload),
+                        "compression_ratio": 1.0, "quality": -1},
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, feats, valids, errors = [], [], [], [], []
-        t_w, t_h, metrics = [], [], []
-        for payload in batch["payload"].to_pylist():
+        t_w, t_h, durs, frames, metrics = [], [], [], [], []
+        kinds = batch["kind"].to_pylist()
+        declared = batch["duration_ms"].to_pylist()
+        for payload, kind, dur in zip(batch["payload"].to_pylist(), kinds, declared):
             try:
-                d = _decode(payload or b"")
+                payload = payload or b""
+                if not payload:
+                    raise ValueError("empty media payload")
+                if kind == "image":
+                    d = self._image_row(payload)
+                elif kind == "audio":
+                    d = self._audio_row(payload)
+                elif kind == "video":
+                    d = self._video_row(payload, int(dur))
+                else:
+                    raise ValueError(f"unknown media kind {kind!r}")
                 widths.append(d["width"])
                 heights.append(d["height"])
-                feats.append(d["features"].tolist())
-                w, h = resize_plan(d["width"], d["height"], self.model)
-                t_w.append(w)
-                t_h.append(h)
-                metrics.append(encode_metrics(len(payload or b""), w, h))
+                t_w.append(d["tw"])
+                t_h.append(d["th"])
+                durs.append(d["duration_ms"])
+                frames.append(d["n_frames"])
+                feats.append(np.asarray(d["features"]).tolist())
+                metrics.append(d["metrics"])
                 valids.append(True)
                 errors.append("")
             except ValueError as exc:
                 widths.append(-1)
                 heights.append(-1)
-                feats.append([0.0] * FEATURE_DIM)
                 t_w.append(-1)
                 t_h.append(-1)
+                durs.append(-1)
+                frames.append(0)
+                feats.append([0.0] * FEATURE_DIM)
                 metrics.append(encode_metrics(0, 0, 0))
                 valids.append(False)
                 errors.append(str(exc))
@@ -175,6 +313,8 @@ class MediaFeatureExtractor:
             .append_column("decoded_height", pa.array(heights, pa.int32()))
             .append_column("target_width", pa.array(t_w, pa.int32()))
             .append_column("target_height", pa.array(t_h, pa.int32()))
+            .append_column("duration_ms_out", pa.array(durs, pa.int32()))
+            .append_column("n_frames", pa.array(frames, pa.int32()))
             .append_column("features", pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)))
             .append_column("metrics", pa.array(metrics, self._METRICS_TYPE))
             .append_column("valid", pa.array(valids, pa.bool_()))
@@ -202,23 +342,53 @@ def extract_media_features(ds, *, model: str = "default", concurrency=2,
     )
 
 
+# closed-form fixture geometry — every parameter below is arithmetic in
+# media_id so the media_features DuckDB oracle can reconstruct the
+# expected decode outputs from range(n) (driver.ORACLE_SQL mirrors
+# these formulas EXACTLY; change them together)
+IMG_W = lambda i: 400 + (i * 97) % 800        # noqa: E731  500..1199
+IMG_H = lambda i: 300 + (i * 131) % 700       # noqa: E731  300..999
+WAV_SAMPLES = lambda i: 1000 + (i * 331) % 16000  # noqa: E731
+WAV_RATE = lambda i: 8000 + (i % 8) * 1000    # noqa: E731
+VID_DUR_MS = lambda i: 1000 + (i * 37) % 59000  # noqa: E731
+
+
 def make_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table for tests (binary payloads are
-    seeded pseudo-random bytes — content is opaque by design)."""
+    """Deterministic synthetic media table: REAL PNG payloads (gradient
+    pixels, dimensions closed-form in media_id — some above the pixtral
+    pixel budget so the resize path triggers), REAL PCM WAVs
+    (closed-form sample counts/rates), opaque pseudo-random bytes for
+    video (decoder stubbed), and planted empty-payload failure rows at
+    media_id % 17 == 13."""
     import random
 
     ids, kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
     for i in range(n):
-        rng = random.Random(f"{seed}:media:{i}")
         kind = ("image", "audio", "video")[i % 3]
-        size = rng.randint(200, 4000)
         ids.append(i)
         kinds.append(kind)
-        payloads.append(bytes(rng.getrandbits(8) for _ in range(size)) if i % 17 != 13 else b"")
-        mimes.append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
+        dur = -1
+        if i % 17 == 13:
+            payloads.append(b"")
+        elif kind == "image":
+            w, h = IMG_W(i), IMG_H(i)
+            y, x = np.mgrid[0:h, 0:w]
+            arr = np.empty((h, w, 3), dtype=np.uint8)
+            for c in range(3):
+                arr[:, :, c] = (x + 2 * y + 11 * i + 40 * c) % 256
+            payloads.append(encode_png(arr))
+        elif kind == "audio":
+            payloads.append(make_wav(WAV_SAMPLES(i), WAV_RATE(i), seed=i))
+        else:
+            rng = random.Random(f"{seed}:media:{i}")
+            size = rng.randint(200, 4000)
+            payloads.append(bytes(rng.getrandbits(8) for _ in range(size)))
+            dur = VID_DUR_MS(i)
+        mimes.append({"image": "image/png", "audio": "audio/wav",
+                      "video": "video/mp4"}[kind])
         ws.append(-1)
         hs.append(-1)
-        durs.append(rng.randint(1000, 60000) if kind == "video" else -1)
+        durs.append(dur)
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
