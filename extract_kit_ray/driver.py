@@ -1323,10 +1323,64 @@ def q_quality_signals(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Document fingerprinting (rolling hash + 64-bit content hash +
+    SimHash) checked through PAIR INVARIANTS: hash values themselves
+    are not SQL-expressible, but their EQUALITY STRUCTURE is — planted
+    exact copies must match on every fingerprint (SimHash Hamming 0),
+    and adjacent-id pairs must match exactly when their texts are equal
+    (the SQL side compares the texts directly).  Pairing runs as two
+    narrow distributed self-joins of the fingerprint table."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-    out = out.map_batches(add_simhash, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "fingerprint", "text_hash", "simhash"])
+    aug = ds.map_batches(_plant_exact_copies, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    fp = (
+        aug.map_batches(fingerprint_batch, batch_format="pyarrow")
+        .map_batches(add_simhash, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint", "text_hash", "simhash"])
+        .materialize()
+    )
+
+    def as_right(batch: pa.Table, *, shift: int) -> pa.Table:
+        return pa.table({
+            "src_id": pc.subtract(batch["doc_id"], pa.scalar(shift, pa.int64())),
+            "fp2": batch["fingerprint"],
+            "th2": batch["text_hash"],
+            "sh2": batch["simhash"],
+        })
+
+    def project(batch: pa.Table, *, kind: str, with_hamming: bool) -> pa.Table:
+        xor = pc.bit_wise_xor(batch["simhash"], batch["sh2"])
+        if with_hamming:
+            ham = pa.array([bin(v & ((1 << 64) - 1)).count("1")
+                            for v in xor.to_pylist()], pa.int64())
+        else:
+            ham = pa.array([-1] * len(batch), pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pair_kind": pa.array([kind] * len(batch), pa.string()),
+            "fp_match": pc.equal(batch["fingerprint"], batch["fp2"]),
+            "hash_match": pc.equal(batch["text_hash"], batch["th2"]),
+            "simhash_hamming": ham,
+        })
+
+    base = fp.filter(expr=f"doc_id < {_PLANT_OFFSET}")
+    copies = fp.filter(expr=f"doc_id >= {_PLANT_OFFSET}").map_batches(
+        as_right, fn_kwargs={"shift": _PLANT_OFFSET}, batch_format="pyarrow",
+        zero_copy_batch=True)
+    copy_pairs = base.join(
+        copies, join_type="inner", num_partitions=2,
+        on=("doc_id",), right_on=("src_id",),
+    ).map_batches(project, fn_kwargs={"kind": "copy", "with_hamming": True},
+                  batch_format="pyarrow")
+
+    nbr_right = base.map_batches(as_right, fn_kwargs={"shift": 1},
+                                 batch_format="pyarrow", zero_copy_batch=True)
+    nbr_pairs = base.join(
+        nbr_right, join_type="inner", num_partitions=2,
+        on=("doc_id",), right_on=("src_id",),
+    ).map_batches(project, fn_kwargs={"kind": "neighbor", "with_hamming": False},
+                  batch_format="pyarrow")
+    return copy_pairs.union(nbr_pairs)
 
 
 _PLANT_MIN_WORDS = 40
@@ -1433,12 +1487,28 @@ def q_media_features(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+_N_FIXTURE = 400
+_FIXTURE_META_DIR = "/tmp/ekray_fixture_meta"
+
+
+def _fixture_meta_path() -> str:
+    """Parquet of PLANTED fixture ground truth (fixtures.py
+    expected_meta_table — generator knowledge, no extraction run);
+    written once, read by the fixture-query DuckDB oracles."""
+    from .fixtures import write_expected_meta
+
+    return write_expected_meta(_FIXTURE_META_DIR, _N_FIXTURE)
+
+
 def q_flagship_fixture(sf_dir: str) -> "ray.data.Dataset":
     """Full mixed-kind flagship extraction over the deterministic fixture
-    corpus (HTML + DOCX + multi-page layout + corruption rows)."""
+    corpus (HTML + DOCX + multi-page layout + corruption rows),
+    projected onto the PLANTED columns (routing, validity, titles) so
+    the ground-truth parquet is a full rows+hash oracle; byte-level
+    output checks live in the roundtrip queries and golden tests."""
     from .fixtures import make_pages_table
 
-    ds = ray.data.from_arrow(make_pages_table(400))
+    ds = ray.data.from_arrow(make_pages_table(_N_FIXTURE))
     extracted = ds.map_batches(
         HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=64, **_pool(),
@@ -1451,8 +1521,6 @@ def q_flagship_fixture(sf_dir: str) -> "ray.data.Dataset":
                 "doc_kind": batch["doc_kind"],
                 "valid": batch["valid"],
                 "title": batch["title"],
-                "n_bytes_out": pc.struct_field(batch["meta"], "n_bytes_out"),
-                "n_spans": pc.cast(pc.list_value_length(batch["spans"]), pa.int64()),
             }
         )
 
@@ -1559,20 +1627,22 @@ def q_schema_validate(sf_dir: str) -> "ray.data.Dataset":
 
 def q_layout_fanout(sf_dir: str) -> "ray.data.Dataset":
     """Skew-defusing layout path over the fixture corpus: 1 doc -> N page
-    rows -> per-page parse -> groupby(url) reassembly (SURVEY.md §4.1)."""
+    rows -> per-page parse -> bucketed groupby reassembly (SURVEY.md
+    §4.1).  The assembled TEXT is checked byte-identically against the
+    generator's planted line/page structure."""
     from .fixtures import make_pages_table
     from .stages.pdf_stage import extract_layout_fanout
 
-    ds = ray.data.from_arrow(make_pages_table(400))
+    ds = ray.data.from_arrow(make_pages_table(_N_FIXTURE))
     out = extract_layout_fanout(ds)
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "url": batch["url"],
-                "n_pages": pc.cast(batch["n_pages"], pa.int32()),
+                "n_pages": pc.cast(batch["n_pages"], pa.int64()),
                 "valid": batch["valid"],
-                "n_chars": pc.cast(pc.utf8_length(pc.cast(batch["text"], pa.string())), pa.int64()),
+                "text": pc.cast(batch["text"], pa.string()),
             }
         )
 
@@ -1581,16 +1651,18 @@ def q_layout_fanout(sf_dir: str) -> "ray.data.Dataset":
 
 def q_domain_lineage(sf_dir: str) -> pa.Table:
     """Per-domain lineage rollup over the fixture corpus (the flagship's
-    wide shuffle, SURVEY.md §2.6-new)."""
+    wide shuffle, SURVEY.md §2.6-new), projected onto the
+    SQL-reconstructable columns (doc/valid counts per domain from the
+    planted routing table)."""
     from .fixtures import make_pages_table
 
-    ds = ray.data.from_arrow(make_pages_table(400))
+    ds = ray.data.from_arrow(make_pages_table(_N_FIXTURE))
     extracted = ds.map_batches(
         HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=64, **_pool(),
     )
     tbl = lineage_rollup(extracted)
-    return tbl.drop_columns(["mean_parse_ms"])  # wall-clock column: not comparable
+    return tbl.select(["domain", "n_docs", "n_valid"])
 
 
 # ---------------------------------------------------------------------------
@@ -2027,6 +2099,37 @@ FROM m ORDER BY media_id
 
 
 ORACLE_SQL["media_features"] = _media_oracle()
+
+# fixture-corpus oracles: planted ground truth written to parquet by the
+# GENERATOR (fixtures.expected_meta_table — no extraction involved), so
+# DuckDB checks routing/validity/titles, the assembled layout text, and
+# the per-domain rollup counts independently of the Ray pipeline
+_FIXTURE_META = _fixture_meta_path()
+ORACLE_SQL["flagship_fixture"] = (
+    f"SELECT url, doc_kind, valid, title FROM read_parquet('{_FIXTURE_META}')"
+)
+ORACLE_SQL["layout_fanout"] = (
+    "SELECT url, fanout_n_pages AS n_pages, fanout_valid AS valid, "
+    f"fanout_text AS text FROM read_parquet('{_FIXTURE_META}')"
+)
+# fingerprint pair-invariant oracle: hashes are opaque, equality isn't —
+# planted copies match everywhere (Hamming 0); adjacent-id pairs match
+# exactly when the SQL side sees their texts equal
+ORACLE_SQL["fingerprints"] = (
+    "SELECT doc_id, 'copy' AS pair_kind, TRUE AS fp_match, "
+    "TRUE AS hash_match, CAST(0 AS BIGINT) AS simhash_hamming "
+    "FROM documents WHERE doc_id % 10 = 0 "
+    "UNION ALL "
+    "SELECT d1.doc_id, 'neighbor' AS pair_kind, d1.text = d2.text AS fp_match, "
+    "d1.text = d2.text AS hash_match, CAST(-1 AS BIGINT) AS simhash_hamming "
+    "FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1"
+)
+
+ORACLE_SQL["domain_lineage"] = (
+    "SELECT domain, COUNT(*) AS n_docs, "
+    "CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid "
+    f"FROM read_parquet('{_FIXTURE_META}') GROUP BY domain"
+)
 
 
 def _sql_strlist(words) -> str:

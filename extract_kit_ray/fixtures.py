@@ -274,6 +274,127 @@ def make_pages_table_range(start: int, stop: int, seed: int = 42,
 
 
 # ---------------------------------------------------------------------------
+# planted ground truth (oracle side)
+# ---------------------------------------------------------------------------
+
+
+def expected_layout_text(i: int, seed: int = 42, n_pages: int | None = None) -> str:
+    """The text a layout payload is CONSTRUCTED to assemble to: the
+    generator emits each line's parts shuffled in x, so the merge must
+    restore part order within the line (space-joined), lines in y order
+    (newline-joined), pages double-newline-joined.  Generator knowledge,
+    not a re-run of the merge — replays the same rng draws as
+    :func:`make_layout_payload`."""
+    rng = random.Random(f"{seed}:layout:{i}")
+    if n_pages is None:
+        n_pages = PAGE_COUNT_CYCLE[(i // 20) % len(PAGE_COUNT_CYCLE)]
+    pages = []
+    for _ in range(n_pages):
+        lines = []
+        for _line in range(rng.randint(4, 9)):
+            text_parts = [_sentence(rng, rng.randint(2, 5)) for _ in range(rng.randint(1, 3))]
+            order = list(range(len(text_parts)))
+            rng.shuffle(order)  # replay the same draw; intended order is 0..k
+            lines.append(" ".join(text_parts))
+        pages.append("\n".join(lines))
+    return "\n\n".join(pages)
+
+
+def expected_html_title(i: int, seed: int = 42) -> str:
+    """The planted <title>/<h1> of HTML row ``i`` (same first rng draws
+    as :func:`make_html_page`)."""
+    rng = random.Random(f"{seed}:html:{i}")
+    return f"Article {i}: {_sentence(rng, 4)[:-1]}"
+
+
+def expected_meta_table(n: int, seed: int = 42) -> pa.Table:
+    """Ground-truth table for the fixture corpus — PLANTED values only
+    (row routing, validity, titles, layout page counts and assembled
+    text), computed from the generator's own parameters WITHOUT running
+    any extraction.  Backs the DuckDB oracles of the fixture-based
+    queries (driver.py flagship_fixture / layout_fanout /
+    domain_lineage).
+
+    The validity/doc_kind columns encode the extraction CONTRACT per
+    planted row class (e.g. an empty payload is failure-as-data with
+    doc_kind='empty'; a truncated-tag HTML page still parses, processor
+    leniency per processor.ts:115-131)."""
+    urls, domains, kinds, valids, titles = [], [], [], [], []
+    fan_valid, fan_pages, fan_text = [], [], []
+    for i in range(n):
+        domain = DOMAINS[i % len(DOMAINS)]
+        urls.append(f"https://{domain}/page/item-{i:06d}")
+        domains.append(domain)
+        if i % 50 == 41:
+            mode = (i // 50) % 3
+            if mode == 0:
+                kinds.append("empty")
+                valids.append(False)
+                titles.append("")
+            elif mode == 1:
+                kinds.append("html")
+                valids.append(False)
+                titles.append("")
+            else:  # truncated tags: lenient HTML parse succeeds
+                kinds.append("html")
+                valids.append(True)
+                titles.append(f"Truncated page {i}")
+            fan_valid.append(False)
+            fan_pages.append(0)
+            fan_text.append("")
+        elif i % 20 == 7:
+            kinds.append("layout")
+            valids.append(True)
+            titles.append("")
+            fan_valid.append(True)
+            fan_pages.append(PAGE_COUNT_CYCLE[(i // 20) % len(PAGE_COUNT_CYCLE)])
+            fan_text.append(expected_layout_text(i, seed))
+        elif i % 33 == 11:
+            kinds.append("docx")
+            valids.append(True)
+            titles.append(f"Docx Doc {i}")
+            fan_valid.append(False)
+            fan_pages.append(0)
+            fan_text.append("")
+        else:
+            kinds.append("html")
+            valids.append(True)
+            titles.append(expected_html_title(i, seed))
+            fan_valid.append(False)
+            fan_pages.append(0)
+            fan_text.append("")
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "domain": pa.array(domains, pa.string()),
+            "doc_kind": pa.array(kinds, pa.string()),
+            "valid": pa.array(valids, pa.bool_()),
+            "title": pa.array(titles, pa.string()),
+            "fanout_valid": pa.array(fan_valid, pa.bool_()),
+            "fanout_n_pages": pa.array(fan_pages, pa.int64()),
+            "fanout_text": pa.array(fan_text, pa.string()),
+        }
+    )
+
+
+def write_expected_meta(path: str, n: int, seed: int = 42) -> str:
+    """Write the ground-truth table to parquet (atomic rename) and
+    return the file path — the driver's fixture oracles read it with
+    DuckDB's read_parquet."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    final = os.path.join(path, f"fixture-meta-{n}-{seed}.parquet")
+    if not os.path.exists(final):
+        tmp = final + f".tmp{os.getpid()}"
+        pq.write_table(expected_meta_table(n, seed), tmp)
+        os.replace(tmp, final)
+    return final
+
+
+# ---------------------------------------------------------------------------
 # driver-testdata bridge: synthesize pages FROM the documents table
 # ---------------------------------------------------------------------------
 
