@@ -122,7 +122,96 @@ class FakeLlmClient:
         return json.dumps(record, sort_keys=True)
 
 
-def make_client(provider, seed: int = 1234):
+class OpenAICompatClient:
+    """``chat/completions`` client for any OpenAI-compatible base URL —
+    the reference's scaleway / mistral / ollama / custom providers all
+    reduce to exactly this shape (ai-generator.ts:90-159:
+    ``createOpenAI({baseURL, apiKey})``).
+
+    Pure-stdlib (urllib) — never exercised against the real network in
+    CI (this sandbox has none); request assembly and the retry taxonomy
+    are unit-tested against a loopback stub server.  Retry taxonomy:
+    429 and 5xx (and transport errors) retry with deterministic
+    backoff up to ``max_attempts``; other 4xx fail fast — the same
+    split the reference's SDK applies."""
+
+    RETRYABLE = {429, 500, 502, 503, 504}
+
+    def __init__(self, base_url: str | None = None, api_key: str | None = None,
+                 model: str | None = None, *, timeout: float = 60.0,
+                 max_attempts: int = 3, backoff_s: float = 0.5):
+        import os
+
+        self.base_url = (base_url or os.environ.get("EKRAY_LLM_BASE_URL", "")).rstrip("/")
+        if not self.base_url:
+            raise ValueError(
+                "OpenAICompatClient needs a base URL (arg or EKRAY_LLM_BASE_URL)")
+        self.api_key = api_key if api_key is not None else os.environ.get(
+            "EKRAY_LLM_API_KEY", "")
+        self.model = model or os.environ.get("EKRAY_LLM_MODEL", "default")
+        self.timeout = timeout
+        self.max_attempts = max_attempts
+        self.backoff_s = backoff_s
+
+    def build_request(self, prompt: str,
+                      images: list[dict] | None = None) -> tuple[str, dict, bytes]:
+        """(url, headers, body) for one chat completion — pure, so the
+        assembly is testable without any transport."""
+        content: object = prompt
+        if images:
+            content = [{"type": "text", "text": prompt}, *images]
+        body = json.dumps(
+            {
+                "model": self.model,
+                "messages": [{"role": "user", "content": content}],
+                "temperature": 0,
+            },
+            sort_keys=True,
+        ).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        return f"{self.base_url}/chat/completions", headers, body
+
+    def generate(self, prompt: str, images: list[dict] | None = None) -> str:
+        import time
+        import urllib.error
+        import urllib.request
+
+        url, headers, body = self.build_request(prompt, images)
+        last_err: Exception | None = None
+        for attempt in range(1, self.max_attempts + 1):
+            try:
+                req = urllib.request.Request(url, data=body, headers=headers,
+                                             method="POST")
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    payload = json.loads(resp.read().decode("utf-8"))
+                return payload["choices"][0]["message"]["content"]
+            except urllib.error.HTTPError as exc:
+                last_err = exc
+                if exc.code not in self.RETRYABLE:
+                    raise ValueError(
+                        f"provider request failed ({exc.code}): "
+                        f"{exc.read()[:200]!r}") from exc
+            except (urllib.error.URLError, TimeoutError, OSError) as exc:
+                last_err = exc
+            if attempt < self.max_attempts:
+                time.sleep(self.backoff_s * attempt)
+        raise ValueError(f"provider unreachable after "
+                         f"{self.max_attempts} attempts: {last_err}")
+
+
+# public OpenAI-compatible endpoints of the reference's named providers
+# (ai-provider.ts; ollama's default local port is its documented default)
+_PROVIDER_BASE_URLS = {
+    "scaleway": "https://api.scaleway.ai/v1",
+    "mistral": "https://api.mistral.ai/v1",
+    "ollama": "http://localhost:11434/v1",
+    "custom": None,  # base_url must come from arg/env
+}
+
+
+def make_client(provider, seed: int = 1234, **kwargs):
     """Provider factory (ai-provider.ts role).
 
     ``provider`` is a registered name or a CALLABLE factory
@@ -130,15 +219,19 @@ def make_client(provider, seed: int = 1234):
     reference's ``custom`` provider with a user-supplied base URL).  A
     callable travels to the actor via cloudpickle in
     ``fn_constructor_kwargs``, so registration needs no shared module
-    state.  Only 'fake' is registered in this sandbox; unknown names
-    fail loudly at stage build time."""
+    state.  Named HTTP providers (scaleway/mistral/ollama/custom) build
+    an :class:`OpenAICompatClient`; 'fake' is the deterministic
+    in-sandbox model; unknown names fail loudly at stage build time."""
     if callable(provider):
         return provider(seed)
     if provider == "fake":
         return FakeLlmClient(seed)
+    if provider in _PROVIDER_BASE_URLS:
+        base = kwargs.pop("base_url", None) or _PROVIDER_BASE_URLS[provider]
+        return OpenAICompatClient(base_url=base, **kwargs)
     raise ValueError(
         f"unknown provider {provider!r}: pass a callable factory or one "
-        "of the registered names ('fake')"
+        f"of the registered names ('fake', {', '.join(map(repr, _PROVIDER_BASE_URLS))})"
     )
 
 
