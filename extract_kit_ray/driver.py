@@ -588,10 +588,11 @@ _CHUNK_WORDS, _CHUNK_OVERLAP = 40, 10
 
 
 def q_chunk_docs(sf_dir: str) -> "ray.data.Dataset":
-    """Sliding-window chunking (LLM-training staple): 100-word windows,
-    20-word overlap, 1 doc -> N chunk rows inside map_batches (no
-    shuffle); exact SQL reconstruction via generate_series + list
-    slicing."""
+    """Sliding-window chunking (LLM-training staple): _CHUNK_WORDS-word
+    windows with _CHUNK_OVERLAP-word overlap (40/10 -> starts every 30
+    words), 1 doc -> N chunk rows inside map_batches (no shuffle);
+    exact SQL reconstruction via generate_series + list slicing (the
+    oracle's stride/width literals derive from the same constants)."""
     from .ops.textops import chunk_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1808,17 +1809,22 @@ ORACLE_SQL = {
         "SELECT a.doc_id AS key_a, b.doc_id AS key_b "
         "FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id"
     ),
-    # sliding-window chunks: starts 0, 30, 2*30, ...; chunk count =
-    # max(1, ceil((W - 10) / 30)); empty docs yield one empty chunk
+    # sliding-window chunks: starts every (WORDS - OVERLAP); chunk count
+    # = max(1, ceil((W - OVERLAP) / stride)); empty docs yield one empty
+    # chunk.  Stride/width literals DERIVE from the query's constants so
+    # the two can't drift (round-2 advisor finding).
     "chunk_docs": (
         "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
         "'\\s+'), x -> x <> '') AS ws FROM documents), "
         "p AS (SELECT doc_id, ws, len(ws) AS nw, "
-        "greatest(CAST(ceil((len(ws) - 10) / 30.0) AS BIGINT), 1) AS nc "
+        f"greatest(CAST(ceil((len(ws) - {_CHUNK_OVERLAP}) / "
+        f"{_CHUNK_WORDS - _CHUNK_OVERLAP}.0) AS BIGINT), 1) AS nc "
         "FROM w) "
         "SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_no, "
-        "array_to_string(ws[(i-1)*30+1 : (i-1)*30+40], ' ') AS chunk_text, "
-        "CAST(least(40, greatest(nw - (i-1)*30, 0)) AS BIGINT) AS n_tokens "
+        f"array_to_string(ws[(i-1)*{_CHUNK_WORDS - _CHUNK_OVERLAP}+1 : "
+        f"(i-1)*{_CHUNK_WORDS - _CHUNK_OVERLAP}+{_CHUNK_WORDS}], ' ') AS chunk_text, "
+        f"CAST(least({_CHUNK_WORDS}, greatest(nw - "
+        f"(i-1)*{_CHUNK_WORDS - _CHUNK_OVERLAP}, 0)) AS BIGINT) AS n_tokens "
         "FROM p, unnest(generate_series(1, nc)) AS t(i)"
     ),
     "long_docs": (

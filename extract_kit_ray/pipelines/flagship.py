@@ -87,15 +87,27 @@ OVERSIZE_THRESHOLD_BYTES = 1 << 20
 
 
 def _route_oversize(batch, threshold: int, normal_rows: int):
-    """Generator stage: split a batch into blocks so each OVERSIZE
-    payload becomes its own single-row block while normal rows stay in
-    ``normal_rows``-row blocks.
+    """Generator stage: yield each OVERSIZE payload as its own
+    single-row table, normal rows in ``normal_rows``-row tables.
 
     One pass, no second read: the alternative (two ``filter`` branches
     unioned) re-executes the upstream read per branch — 2x I/O at
-    100 TB.  Downstream the extractor runs with batch_size=None (batch
-    = block), so a 5 MB monster occupies one actor task alone instead
-    of stalling 63 neighbours in its batch."""
+    100 TB.
+
+    What a yield does and does NOT guarantee (round-2 advisor finding):
+    Ray's output buffer coalesces generator yields into blocks up to
+    ``DataContext.target_max_block_size``, so a 5 MB yield does NOT
+    stay a single-row block under the 128 MiB default — it shares a
+    block (and therefore a batch, since the extractor runs
+    batch_size=None downstream) with up to ~target of neighbors.  The
+    yield granularity is still what lets the block cutter place a
+    boundary AT the monster: blocks are finalized whenever the buffer
+    crosses the target, so per-task memory stays bounded by
+    ~target_max_block_size regardless of row sizes.  HARD single-row
+    isolation needs the cap lowered to the threshold —
+    ``extract_pages(isolate_oversize_blocks=True)`` does exactly that,
+    at the cost of more blocks (driver metadata) — worth it only for
+    skew-heavy corpora."""
     import pyarrow.compute as pc
 
     lens = pc.fill_null(pc.binary_length(batch["html"]), 0)
@@ -116,33 +128,59 @@ def extract_pages(
     batch_size: int = 64,
     num_cpus: float = 1,
     oversize_threshold: int | None = OVERSIZE_THRESHOLD_BYTES,
+    isolate_oversize_blocks: bool = False,
 ) -> "ray.data.Dataset":
     """pages Dataset -> EXTRACTED_SCHEMA Dataset (streaming, actor pool).
 
-    ``oversize_threshold`` (bytes) activates the skew side-route: bigger
-    payloads are isolated into single-row blocks pre-extraction.  Pass
-    None to disable (tests of raw batching behavior)."""
+    ``oversize_threshold`` (bytes) activates the skew side-route:
+    bigger payloads become their own generator yields, giving the block
+    cutter a boundary at each monster (per-task memory bounded by
+    ~target_max_block_size).  Pass None to disable (tests of raw
+    batching behavior).
+
+    ``isolate_oversize_blocks`` additionally builds the routed stages
+    under a DataContext whose target_max_block_size equals the
+    threshold, which makes each oversize payload a true SINGLE-ROW
+    block/batch — more blocks (driver metadata cost), so reserve it for
+    skew-heavy corpora."""
     if concurrency is None:
         concurrency = _default_concurrency()
     extractor_batch_size: int | None = batch_size
-    if oversize_threshold is not None:
-        ds = ds.map_batches(
-            _route_oversize,
-            fn_kwargs={"threshold": oversize_threshold, "normal_rows": batch_size},
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scoped_block_cap():
+        # DataContext is captured at dataset-construction time, so the
+        # cap scopes to the stages built inside this block
+        ctx = ray.data.DataContext.get_current()
+        old = ctx.target_max_block_size
+        if isolate_oversize_blocks and oversize_threshold is not None:
+            ctx.target_max_block_size = oversize_threshold
+        try:
+            yield
+        finally:
+            ctx.target_max_block_size = old
+
+    with _scoped_block_cap():
+        if oversize_threshold is not None:
+            ds = ds.map_batches(
+                _route_oversize,
+                fn_kwargs={"threshold": oversize_threshold, "normal_rows": batch_size},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_size,
+            )
+            extractor_batch_size = None  # batch = routed block
+        return ds.map_batches(
+            HtmlExtractor,
+            fn_constructor_kwargs={"strip_boilerplate": strip_boilerplate},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=batch_size,
+            batch_size=extractor_batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
         )
-        extractor_batch_size = None  # batch = routed block
-    return ds.map_batches(
-        HtmlExtractor,
-        fn_constructor_kwargs={"strip_boilerplate": strip_boilerplate},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=extractor_batch_size,
-        concurrency=concurrency,
-        num_cpus=num_cpus,
-    )
 
 
 def extract_pages_from_path(path: str, **kwargs) -> "ray.data.Dataset":

@@ -183,6 +183,89 @@ def test_flagship_skewed_corpus(ray_session):
         assert len(r["text"]) > 0
 
 
+def test_oversize_isolation_survives_block_builder(ray_session):
+    """Yields alone do NOT survive Ray's output-buffer coalescing
+    (round-2 advisor finding) — with isolate_oversize_blocks=True the
+    scoped block-size cap makes every >threshold payload a true
+    single-row batch at the extractor."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from extract_kit_ray.pipelines.flagship import _route_oversize
+
+    big = b"<html><body>" + b"y" * 3_000_000 + b"</body></html>"
+    payloads = [b"x" * 1000] * 100 + [big] + [b"x" * 1000] * 100 + [big, big]
+    tbl = pa.table({
+        "url": pa.array([f"u{i}" for i in range(len(payloads))]),
+        "html": pa.array(payloads, pa.binary()),
+    })
+    threshold = 1 << 20
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = threshold  # what isolate_oversize_blocks sets
+    try:
+        routed = ray.data.from_arrow(tbl).map_batches(
+            _route_oversize,
+            fn_kwargs={"threshold": threshold, "normal_rows": 64},
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=64,
+        )
+
+        def probe(batch: pa.Table) -> pa.Table:
+            has_big = pc.max(pc.binary_length(batch["html"])).as_py() > threshold
+            return pa.table({"n_rows": pa.array([batch.num_rows]),
+                             "has_big": pa.array([has_big])})
+
+        shapes = routed.map_batches(probe, batch_format="pyarrow",
+                                    batch_size=None).take_all()
+    finally:
+        ctx.target_max_block_size = old
+    big_batches = [r for r in shapes if r["has_big"]]
+    assert len(big_batches) == 3
+    assert all(r["n_rows"] == 1 for r in big_batches)
+    assert sum(r["n_rows"] for r in shapes) == len(payloads)
+
+
+def test_lineage_rollup_skew_mapside_combine(ray_session):
+    """Heavy-hitter guarantee (SURVEY.md §4.2): one domain holding 50%
+    of docs must NOT make the lineage shuffle move per-document rows —
+    the map-side combine emits at most n_batches x n_domains partial
+    rows, and the rollup stays exact."""
+    import pyarrow as pa
+    import ray.data
+
+    from extract_kit_ray.pipelines.lineage import lineage_rollup, partial_rollup_batch
+    from extract_kit_ray.stages.extract_stage import HtmlExtractor
+
+    n = 400
+    hot = "hot.example"
+    domains = [hot if i % 2 == 0 else f"d{i % 8}.example" for i in range(n)]
+    html = [f"<html><head><title>T{i}</title></head><body><article>"
+            f"<h1>T{i}</h1><p>body {i} words here</p></article></body></html>"
+            .encode() for i in range(n)]
+    tbl = pa.table({
+        "url": pa.array([f"https://{d}/p/{i}" for i, d in enumerate(domains)]),
+        "warc_ts": pa.array([i for i in range(n)], pa.timestamp("us")),
+        "html": pa.array(html, pa.binary()),
+        "lang": pa.array(["en"] * n),
+    })
+    extracted = ray.data.from_arrow(tbl).map_batches(
+        HtmlExtractor, batch_format="pyarrow", batch_size=50, concurrency=2)
+    # the combine bound: partial rows <= n_batches x n_domains, far
+    # below the 400 document rows a naive groupby would shuffle
+    partials = extracted.map_batches(partial_rollup_batch,
+                                     batch_format="pyarrow", zero_copy_batch=True)
+    n_partial = partials.count()
+    n_batches = 400 // 50
+    assert n_partial <= n_batches * 9
+    assert n_partial < n
+    out = lineage_rollup(extracted)
+    by = {d: n for d, n in zip(out["domain"].to_pylist(),
+                               out["n_docs"].to_pylist())}
+    assert by[hot] == 200
+    assert sum(by.values()) == n
+
+
 def test_oversize_route_block_shapes():
     """_route_oversize isolates >threshold payloads into single-row
     blocks; normal rows stay in normal_rows-row blocks."""
