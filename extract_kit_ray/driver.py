@@ -93,6 +93,21 @@ def _pool() -> dict:
     return {"concurrency": (1, max(2, min(cpus - 2, 16))), "num_cpus": 0.5}
 
 
+def _fixed_concurrency() -> int:
+    """Fixed pool size for COMPUTE-HEAVY actor stages (MinHasher, ANN
+    scorers): their wall time is dominated by per-batch work, so the
+    autoscaler's slow ramp from 1 actor costs more than paying full
+    spin-up up-front (the same trade the flagship stage makes —
+    pipelines/flagship._default_concurrency)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cpus - 2, 16))
+
+
 def _wrap_docs_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text, lang, ...) -> (url, warc_ts, html, lang) pages rows.
 
@@ -1220,7 +1235,7 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     list_cosine_similarity."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries, qids = _query_matrix(sf_dir)
-    out = brute_force_topk(ds, queries, k=_TOPK, concurrency=_pool()["concurrency"])
+    out = brute_force_topk(ds, queries, k=_TOPK, concurrency=_fixed_concurrency())
     return _remap_query_ids(out, qids)
 
 
@@ -1251,7 +1266,7 @@ def q_lsh_recall(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries, qids = _query_matrix(sf_dir)
     out = lsh_topk(ds, queries, k=_TOPK, n_bits=4, probe_bits=3,
-                   concurrency=_pool()["concurrency"])
+                   concurrency=_fixed_concurrency())
     return _recall_vs_exact(sf_dir, _remap_query_ids(out, qids), min_hits=9)
 
 
@@ -1268,7 +1283,7 @@ def q_ivf_recall(sf_dir: str) -> pd.DataFrame:
         ["embedding"].to_pylist(), dtype=np.float32)
     queries, qids = _query_matrix(sf_dir)
     out = ivf_topk(ds, queries, k=_TOPK, n_lists=16, n_probe=10,
-                   train_sample=sample, concurrency=_pool()["concurrency"])
+                   train_sample=sample, concurrency=_fixed_concurrency())
     return _recall_vs_exact(sf_dir, _remap_query_ids(out, qids), min_hits=8)
 
 
@@ -1298,7 +1313,7 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     augmented = ds.map_batches(_plant_vec_copies, batch_format="pyarrow",
                                zero_copy_batch=True)
     return embedding_near_dups(augmented, threshold=0.99, n_bits=4,
-                               concurrency=_pool()["concurrency"])[
+                               concurrency=_fixed_concurrency())[
         ["key_a", "key_b"]
     ]
 
@@ -1421,7 +1436,7 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     synthetic corpus reaches 0.8 Jaccard — so the full (doc_id, is_dup)
     table is SQL-reconstructable."""
     out = minhash_lsh_dedup(_planted_docs(sf_dir), threshold=0.8,
-                            concurrency=_pool()["concurrency"])
+                            concurrency=_fixed_concurrency())
     return out[["doc_id", "is_dup"]]
 
 
@@ -1432,7 +1447,7 @@ def q_minhash_dedup_distributed(sf_dir: str) -> pd.DataFrame:
     from .ops.dedup import minhash_lsh_dedup_distributed
 
     out = minhash_lsh_dedup_distributed(_planted_docs(sf_dir), threshold=0.8,
-                                        concurrency=_pool()["concurrency"],
+                                        concurrency=_fixed_concurrency(),
                                         num_partitions=4)
     return out[["doc_id", "is_dup"]]
 
