@@ -25,6 +25,10 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 
+# decode cap: beyond any model pixel budget (ops/multimodal.PIXEL_BUDGETS
+# tops out at 2048^2); rejects hostile IHDR dims before any allocation
+_MAX_PIXELS = 1 << 26  # 67 MP
+
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (struct.pack(">I", len(body)) + tag + body
@@ -123,12 +127,16 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
+    ch = _CHANNELS[color_type]
+    if width * height > _MAX_PIXELS:
+        raise ValueError(f"PNG too large ({width}x{height} px, cap {_MAX_PIXELS})")
+    expected = height * (width * ch + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bound the inflate output to the declared geometry — a
+        # decompression bomb can't allocate past the (capped) expected size
+        raw = zlib.decompressobj().decompress(bytes(idat), expected)
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    ch = _CHANNELS[color_type]
-    expected = height * (width * ch + 1)
     if len(raw) < expected:
         raise ValueError("truncated PNG scanlines")
     arr = _unfilter(np.frombuffer(raw[:expected], dtype=np.uint8),

@@ -151,3 +151,95 @@ def test_docx_zip_garbage_total(blob):
     """PK-prefixed garbage must flow through extract_document as data."""
     rec = extract_document(b"PK\x03\x04" + blob, "https://fuzz.example/zip")
     assert isinstance(rec["valid"], bool)
+
+
+# ---------------------------------------------------------------------------
+# round-3 decoders: PNG / WAV / ToUnicode CMap must be total — on any
+# input they either return a well-formed value or raise ValueError
+# (callers convert to failure-as-data), never any other exception
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_png_decode_total(payload):
+    import pytest
+
+    from extract_kit_ray.functions.png import PNG_SIGNATURE, decode_png
+
+    try:
+        arr = decode_png(payload)
+        assert arr.dtype.name == "uint8"
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=512))
+def test_png_decode_total_with_signature(tail):
+    """Adversarial: a valid signature followed by garbage chunks."""
+    from extract_kit_ray.functions.png import PNG_SIGNATURE, decode_png
+
+    try:
+        decode_png(PNG_SIGNATURE + tail)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_wav_decode_total(payload):
+    from extract_kit_ray.ops.multimodal import decode_wav
+
+    try:
+        d = decode_wav(payload)
+        assert d["sample_rate"] >= 1 and d["duration_ms"] >= 0
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=512))
+def test_wav_decode_total_with_riff_header(tail):
+    from extract_kit_ray.ops.multimodal import decode_wav
+
+    try:
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE" + tail)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_parse_tounicode_total(payload):
+    """CMap parser never raises on arbitrary bytes (it is fed decoded
+    stream bytes from untrusted PDFs) and always returns a sane map."""
+    from extract_kit_ray.functions.pdf_text import parse_tounicode
+
+    width, mapping = parse_tounicode(payload)
+    assert width >= 1
+    assert all(isinstance(k, int) and isinstance(v, str)
+               for k, v in mapping.items())
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=4096))
+def test_media_extractor_total_on_bytes(payload):
+    """The media stage converts ANY payload into a valid row or a
+    failure-as-data row — never an exception."""
+    import pyarrow as pa
+
+    from extract_kit_ray.ops.multimodal import MediaFeatureExtractor
+
+    batch = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "kind": pa.array(["image", "audio", "video"]),
+        "payload": pa.array([payload] * 3, pa.binary()),
+        "mime": pa.array(["image/png", "audio/wav", "video/mp4"]),
+        "width": pa.array([-1] * 3, pa.int32()),
+        "height": pa.array([-1] * 3, pa.int32()),
+        "duration_ms": pa.array([-1, -1, 1234], pa.int32()),
+    })
+    out = MediaFeatureExtractor()(batch)
+    assert out.num_rows == 3
+    assert all(isinstance(v, bool) for v in out["valid"].to_pylist())
