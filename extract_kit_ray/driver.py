@@ -371,10 +371,12 @@ def _wrap_docs_as_pdf(batch: pa.Table) -> pa.Table:
     word, same geometry as the ek-layout wrap) — doc_id % 3 == 0 rows
     become Type0/CID-font PDFs whose hex strings only decode through
     the embedded /ToUnicode CMap (the Word/LaTeX subset-font shape);
-    of the rest, even doc_ids get FlateDecode-compressed content
-    streams and odd ones raw, so all three decode paths carry the
+    doc_id % 5 == 4 rows become PDF 1.5 object-stream files whose
+    page tree lives inside a compressed /ObjStm (the modern-writer
+    layout); of the rest, even doc_ids get FlateDecode-compressed
+    content streams and odd ones raw — four decode paths, one
     byte-identity oracle."""
-    from .functions.pdf_text import make_cid_pdf, make_pdf
+    from .functions.pdf_text import make_cid_pdf, make_objstm_pdf, make_pdf
 
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
@@ -391,6 +393,8 @@ def _wrap_docs_as_pdf(batch: pa.Table) -> pa.Table:
             )
         if int(i) % 3 == 0:
             payloads.append(make_cid_pdf(pages, compress=(int(i) % 2 == 0)))
+        elif int(i) % 5 == 4:
+            payloads.append(make_objstm_pdf(pages, compress=(int(i) % 2 == 0)))
         else:
             payloads.append(make_pdf(pages, compress=(int(i) % 2 == 0)))
     return pa.table(

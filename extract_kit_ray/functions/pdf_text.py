@@ -96,9 +96,47 @@ def _objects(data: bytes) -> dict[int, bytes]:
             break
         objs[num] = data[body_start:end]
         pos = end + len(b"endobj")
+    _expand_object_streams(objs)
     if not objs:
         raise ValueError("no PDF objects found")
     return objs
+
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_MAX_OBJSTM_N = 10_000  # totality cap on hostile /N
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """PDF 1.5+ object streams (ISO 32000 §7.5.7): most modern writers
+    pack the catalog / page / font DICTIONARIES into a single
+    Flate-compressed ``/Type /ObjStm`` stream whose header lists
+    ``objnum offset`` pairs.  Expand them into the object map so the
+    page-tree walk sees them.  ``setdefault`` (never clobber): a
+    top-level ``N G obj`` definition postdates the ObjStm in
+    incrementally-updated files."""
+    for num in sorted(objs):
+        body = objs[num]
+        if not _OBJSTM_RE.search(body):
+            continue
+        mn = re.search(rb"/N\s+(\d+)\b", body)
+        mf = re.search(rb"/First\s+(\d+)\b", body)
+        if not (mn and mf):
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        if not (0 < n <= _MAX_OBJSTM_N) or first < 0:
+            continue
+        try:
+            data = _stream_data(body)
+        except ValueError:
+            continue
+        if data is None or first > len(data):
+            continue
+        pairs = re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n]
+        offsets = [(int(a), int(b)) for a, b in pairs]
+        for idx, (onum, off) in enumerate(offsets):
+            end = offsets[idx + 1][1] if idx + 1 < len(offsets) else len(data) - first
+            if 0 <= off <= end <= len(data) - first:
+                objs.setdefault(onum, data[first + off : first + end])
 
 
 def _dict_ref(body: bytes, name: bytes) -> int | None:
@@ -598,6 +636,70 @@ def make_pdf(pages: list[list[tuple[str, float, float]]], *, compress: bool = Fa
         buf += b"%010d 00000 n \n" % off
     buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (len(objects) + 1, xref_pos))
+    return bytes(buf)
+
+
+def make_objstm_pdf(pages: list[list[tuple[str, float, float]]], *,
+                    compress: bool = True) -> bytes:
+    """Build a PDF 1.5-style file whose catalog / pages / page / font
+    DICTIONARIES live inside a compressed ``/Type /ObjStm`` object
+    stream (the layout every modern writer emits), with only the
+    content streams and the ObjStm itself as top-level objects — a
+    parser that ignores object streams sees no page tree at all."""
+    n_pages = len(pages)
+    # inner (ObjStm-resident) object numbers
+    cat_num, pages_num, font_num = 100, 101, 200
+    page_nums = [102 + i for i in range(n_pages)]
+    # top-level: content streams 1..n_pages, ObjStm = n_pages + 1
+    objstm_num = n_pages + 1
+
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    inner: list[tuple[int, bytes]] = [
+        (cat_num, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num),
+        (pages_num, b"<< /Type /Pages /Kids [%s] /Count %d >>"
+         % (kids.encode(), n_pages)),
+    ]
+    for i, page_num in enumerate(page_nums):
+        inner.append((page_num,
+                      b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                      b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+                      % (pages_num, i + 1, font_num)))
+    inner.append((font_num,
+                  b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+
+    bodies = [body for _, body in inner]
+    header = b" ".join(b"%d %d" % (num, sum(len(b) + 1 for b in bodies[:k]))
+                       for k, (num, _) in enumerate(inner))
+    payload = header + b"\n" + b"\n".join(bodies) + b"\n"
+    first = len(header) + 1
+    stm_data = zlib.compress(payload) if compress else payload
+    filt = b" /Filter /FlateDecode" if compress else b""
+    objstm_body = (b"<< /Type /ObjStm /N %d /First %d /Length %d%s >>\nstream\n"
+                   % (len(inner), first, len(stm_data), filt)
+                   + stm_data + b"\nendstream")
+
+    objects: list[bytes] = []
+    for runs in pages:
+        parts = [b"BT\n/F1 12 Tf"]
+        for text, rx, ry in runs:
+            parts.append(b"1 0 0 1 %.2f %.2f Tm (%s) Tj"
+                         % (rx, ry, _escape_pdf_string(text)))
+        parts.append(b"ET")
+        stream = b"\n".join(parts)
+        if compress:
+            data = zlib.compress(stream)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            data = stream
+            head = b"<< /Length %d >>" % len(data)
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects.append(objstm_body)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    for num, body in enumerate(objects, start=1):
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    buf += (b"trailer\n<< /Size %d /Root %d 0 R >>\n%%%%EOF\n"
+            % (objstm_num + 1, cat_num))
     return bytes(buf)
 
 

@@ -161,6 +161,35 @@ def test_unknown_cid_becomes_replacement_char():
     assert out[0]["runs"][0]["text"] == "a�"
 
 
+def test_objstm_page_tree_roundtrip():
+    """PDF 1.5 object streams: catalog/pages/page/font dicts packed in
+    a compressed /ObjStm (the modern-writer layout) — a parser without
+    §7.5.7 support sees no page tree at all."""
+    from extract_kit_ray.functions.pdf_text import make_objstm_pdf
+
+    pages = [[("Hello ObjStm", 72.0, 700.0), ("line two", 72.0, 680.0)],
+             [("page 2", 72.0, 700.0)]]
+    for compress in (True, False):
+        out = pdf_to_layout_pages(make_objstm_pdf(pages, compress=compress))
+        got = [[(r["text"], r["x"], r["y"]) for r in p["runs"]] for p in out]
+        assert got == [[(t, x, y) for t, x, y in pg] for pg in pages]
+
+
+def test_objstm_top_level_definition_wins():
+    """Incremental-update semantics: a top-level `N G obj` definition
+    postdates (and must shadow) the same object inside an ObjStm."""
+    from extract_kit_ray.functions.pdf_text import make_objstm_pdf
+
+    pdf = make_objstm_pdf([[("original", 72.0, 700.0)]], compress=False)
+    # append a top-level redefinition of the page object (102) pointing
+    # at a new content stream (object 50)
+    patch = (b"50 0 obj\n<< /Length 44 >>\nstream\n"
+             b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (patched) Tj ET\nendstream\nendobj\n"
+             b"102 0 obj\n<< /Type /Page /Parent 101 0 R /Contents 50 0 R >>\nendobj\n")
+    out = pdf_to_layout_pages(pdf + patch)
+    assert [r["text"] for r in out[0]["runs"]] == ["patched"]
+
+
 def test_endobj_inside_stream_body_does_not_truncate():
     """Raw stream bytes containing 'endobj' / 'N 0 obj' (guaranteed
     verbatim with compress=False) must not break the object scan."""
