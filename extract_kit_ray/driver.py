@@ -1689,6 +1689,37 @@ def q_domain_lineage(sf_dir: str) -> pa.Table:
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+_SAMPLE_PER_LANG = 20
+_SAMPLE_FRACTION = 0.25
+
+
+def q_stratified_sample_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Reproducible stratified sample (training-data curation staple):
+    the _SAMPLE_PER_LANG hash-smallest docs per language.  The Knuth
+    multiplicative sample hash is mirrored exactly by the oracle's
+    integer arithmetic, so the FULL selection (not just its size) is
+    SQL-checked."""
+    from .ops.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    out = stratified_sample(ds, group_col="lang", key_col="doc_id",
+                            n_per_group=_SAMPLE_PER_LANG)
+    return out.select_columns(["doc_id", "lang"])
+
+
+def q_sample_fraction_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic Bernoulli-style corpus fraction (one streaming
+    filter, no shuffle) — the resumable replacement for
+    random_shuffle+limit subsampling."""
+    from .ops.sampling import sample_fraction
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return sample_fraction(ds, key_col="doc_id",
+                           fraction=_SAMPLE_FRACTION).select_columns(["doc_id", "lang"])
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -1737,6 +1768,8 @@ QUERIES = {
     "structured_extract": q_structured_extract,
     "schema_validate": q_schema_validate,
     "layout_fanout": q_layout_fanout,
+    "stratified_sample_by_lang": q_stratified_sample_by_lang,
+    "sample_fraction_docs": q_sample_fraction_docs,
 }
 
 ORACLE_SQL = {
@@ -2137,6 +2170,26 @@ ORACLE_SQL["layout_fanout"] = (
     "SELECT url, fanout_n_pages AS n_pages, fanout_valid AS valid, "
     f"fanout_text AS text FROM read_parquet('{_FIXTURE_META}')"
 )
+def _sampling_oracles() -> dict[str, str]:
+    from .ops.sampling import SAMPLE_HASH_MOD, sample_hash_sql
+
+    h = sample_hash_sql("doc_id")
+    cut = int(_SAMPLE_FRACTION * SAMPLE_HASH_MOD)
+    return {
+        "stratified_sample_by_lang": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            f"PARTITION BY lang ORDER BY {h}, doc_id) AS rn "
+            f"FROM documents) WHERE rn <= {_SAMPLE_PER_LANG}"
+        ),
+        "sample_fraction_docs": (
+            f"SELECT doc_id, lang FROM documents WHERE {h} < {cut}"
+        ),
+    }
+
+
+ORACLE_SQL.update(_sampling_oracles())
+
 # fingerprint pair-invariant oracle: hashes are opaque, equality isn't —
 # planted copies match everywhere (Hamming 0); adjacent-id pairs match
 # exactly when the SQL side sees their texts equal

@@ -482,3 +482,40 @@ def test_chunk_batch_windows():
 
     with pytest.raises(ValueError):
         chunk_batch(tbl, chunk_words=10, overlap=10)
+
+
+def test_stratified_sample_exact_across_blocks(ray_session):
+    """The per-batch partial top-n plus per-group final head must equal
+    a single-node selection, regardless of block boundaries."""
+    import ray.data
+
+    from extract_kit_ray.ops.sampling import sample_hash, stratified_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "lang": [("en", "fr", "de", "es")[i % 4] for i in range(1000)],
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = stratified_sample(ds, group_col="lang", key_col="doc_id",
+                            n_per_group=15).to_pandas()
+    assert len(out) == 60
+    # reference selection computed directly
+    ref = df.assign(h=sample_hash(df["doc_id"].to_numpy()))
+    ref = (ref.sort_values(["h", "doc_id"]).groupby("lang").head(15))
+    assert set(map(tuple, out[["doc_id", "lang"]].values.tolist())) == \
+        set(map(tuple, ref[["doc_id", "lang"]].values.tolist()))
+
+
+def test_sample_fraction_deterministic(ray_session):
+    import ray.data
+
+    from extract_kit_ray.ops.sampling import sample_fraction
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    a = sorted(r["doc_id"] for r in sample_fraction(ds, key_col="doc_id",
+                                                    fraction=0.3).take_all())
+    b = sorted(r["doc_id"] for r in sample_fraction(ds, key_col="doc_id",
+                                                    fraction=0.3).take_all())
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4  # Bernoulli-style rate
