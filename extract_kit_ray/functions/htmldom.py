@@ -288,7 +288,14 @@ def _fast_parse(html: str) -> Node | None:
             if not _ATTRS_OK.match(blob):
                 return None
             attrs = _parse_attrs(blob)
-            if blob.rstrip().endswith("/"):
+            # stdlib self-closes only on a literal "/>" where the "/" is
+            # its own token: "<a/ >" is a plain start tag (slash-then-
+            # space is junk) and in "<a b=1/>" the "/" belongs to the
+            # unquoted value.  Self-close iff "/" ends the blob AND
+            # follows the tag name, whitespace, or a quoted value.
+            if blob.endswith("/") and (
+                len(blob) == 1 or blob[-2] in " \t\n\r\f\"'"
+            ):
                 b.handle_startendtag(tag.lower(), attrs)
             else:
                 b.handle_starttag(tag.lower(), attrs)
