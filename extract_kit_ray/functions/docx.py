@@ -13,8 +13,12 @@ Rebuilds the reference's DOCX chain (SURVEY.md §3.3) without mammoth:
      by ``w:ilvl``
    - hyperlinks from ``w:hyperlink`` r:id resolved through
      word/_rels/document.xml.rels (and ``w:anchor`` -> ``#fragment``)
-   - images (``w:drawing`` / legacy ``w:pict``) as ``<img alt>``
-     placeholders carrying the docPr descr/name alt text
+   - images (``w:drawing`` / legacy ``w:pict``): embedded bytes are
+     resolved a:blip r:embed -> document.xml.rels -> word/media/* and
+     emitted as mammoth-default ``<img src="data:{type};base64,...">``
+     (content type from [Content_Types].xml overrides/defaults), alt
+     from docPr descr (fallback title/name); images whose bytes can't
+     be resolved degrade to the ``<img alt>`` placeholder + warning
    - a mammoth-style styleMap: ``p[style-name='X'] => tag`` /
      ``r[style-name='X'] => tag`` entries override the defaults
      (docx-converter.ts:166-169 passthrough, U4)
@@ -28,7 +32,9 @@ exceptions (docx-converter.ts:191-202 contract).
 
 from __future__ import annotations
 
+import base64
 import io
+import posixpath
 import re
 import zipfile
 from html import escape
@@ -117,6 +123,35 @@ def _load_rels(zf: zipfile.ZipFile) -> dict[str, str]:
     return out
 
 
+CT_NS = "{http://schemas.openxmlformats.org/package/2006/content-types}"
+
+# mammoth content-types.js fallback map for extensions missing from
+# [Content_Types].xml (public mammoth.js behavior)
+_CT_FALLBACK = {
+    "png": "png", "gif": "gif", "jpeg": "jpeg", "jpg": "jpeg",
+    "tif": "tiff", "tiff": "tiff", "bmp": "bmp",
+}
+
+
+def _load_content_types(zf: zipfile.ZipFile) -> tuple[dict[str, str], dict[str, str]]:
+    """[Content_Types].xml -> ({extension: type}, {part name: type})."""
+    try:
+        root = ElementTree.fromstring(zf.read("[Content_Types].xml"))
+    except (KeyError, ElementTree.ParseError):
+        return {}, {}
+    defaults: dict[str, str] = {}
+    overrides: dict[str, str] = {}
+    for el in root.iter(f"{CT_NS}Default"):
+        ext, ct = el.get("Extension"), el.get("ContentType")
+        if ext and ct:
+            defaults[ext.lower()] = ct
+    for el in root.iter(f"{CT_NS}Override"):
+        part, ct = el.get("PartName"), el.get("ContentType")
+        if part and ct:
+            overrides[part] = ct
+    return defaults, overrides
+
+
 def _load_numbering(zf: zipfile.ZipFile) -> dict[str, dict[int, str]]:
     """word/numbering.xml -> {numId: {ilvl: numFmt}}."""
     try:
@@ -176,13 +211,17 @@ class _DocCtx:
     footnotes/endnotes (+ the in-document reference order)."""
 
     def __init__(self, rels=None, numbering=None, p_style_map=None,
-                 r_style_map=None, footnotes=None, endnotes=None):
+                 r_style_map=None, footnotes=None, endnotes=None,
+                 zf=None, ct_defaults=None, ct_overrides=None):
         self.rels = rels or {}
         self.numbering = numbering or {}
         self.p_style_map = p_style_map or {}
         self.r_style_map = r_style_map or {}
         self.footnotes = footnotes or {}
         self.endnotes = endnotes or {}
+        self.zf = zf  # open ZipFile for embedded-image byte reads
+        self.ct_defaults = ct_defaults or {}
+        self.ct_overrides = ct_overrides or {}
         # (kind, id) in first-reference order -> sequential [n] numbering
         self.note_refs: list[tuple[str, str]] = []
 
@@ -194,11 +233,57 @@ class _DocCtx:
 
 
 def _drawing_alt(element: ElementTree.Element) -> str:
-    """Alt text of a w:drawing / w:pict: docPr descr (preferred) or name."""
+    """Alt text of a w:drawing / w:pict: docPr descr (mammoth's
+    preference), falling back to title then name."""
     for node in element.iter():
         if node.tag.endswith("}docPr"):
-            return node.get("descr") or node.get("name") or ""
+            return node.get("descr") or node.get("title") or node.get("name") or ""
     return ""
+
+
+def _image_data_uri(
+    element: ElementTree.Element, ctx: _DocCtx, warnings: list[str]
+) -> str | None:
+    """Resolve the embedded image bytes of a w:drawing / w:pict into a
+    mammoth-default ``data:{contentType};base64,...`` URI.
+
+    a:blip r:embed (DrawingML) / v:imagedata r:id (legacy VML) ->
+    document.xml.rels target -> zip part under word/.  Returns None
+    (degrade to alt placeholder) for linked-not-embedded images,
+    unresolved relationships, or missing parts — each with a warning,
+    never an exception (docx-converter.ts:191-202 contract)."""
+    rid = None
+    for node in element.iter():
+        if node.tag.endswith("}blip"):
+            rid = node.get(f"{R_NS}embed")
+            if rid is None and node.get(f"{R_NS}link"):
+                warnings.append("linked (non-embedded) image skipped")
+                return None
+            break
+        if node.tag.endswith("}imagedata"):
+            rid = node.get(f"{R_NS}id")
+            break
+    if rid is None or ctx.zf is None:
+        return None
+    target = ctx.rels.get(rid)
+    if not target:
+        warnings.append(f"image with unresolved relationship id {rid!r}")
+        return None
+    # part-name resolution: targets are relative to word/, absolute
+    # targets ("/word/media/x.png") name the part directly
+    part = target.lstrip("/") if target.startswith("/") else posixpath.normpath(
+        "word/" + target)
+    try:
+        data = ctx.zf.read(part)
+    except KeyError:
+        warnings.append(f"image part not found in archive: {part!r}")
+        return None
+    ext = part.rsplit(".", 1)[-1].lower() if "." in part else ""
+    ctype = ctx.ct_overrides.get("/" + part) or ctx.ct_defaults.get(ext)
+    if not ctype:
+        fb = _CT_FALLBACK.get(ext)
+        ctype = f"image/{fb}" if fb else "application/octet-stream"
+    return f"data:{ctype};base64,{base64.b64encode(data).decode('ascii')}"
 
 
 def _run_html(run: ElementTree.Element, ctx: _DocCtx, warnings: list[str]) -> str:
@@ -227,7 +312,14 @@ def _run_html(run: ElementTree.Element, ctx: _DocCtx, warnings: list[str]) -> st
             parts.append(" ")
         elif tag in (f"{W_NS}drawing", f"{W_NS}pict", f"{W_NS}object"):
             alt = _drawing_alt(child)
-            parts.append(f'<img alt="{escape(alt, quote=True)}">')
+            src = _image_data_uri(child, ctx, warnings)
+            if src is not None:
+                # mammoth default convertImage: data-URI src, alt only
+                # when the drawing carries alt text
+                alt_attr = f' alt="{escape(alt, quote=True)}"' if alt else ""
+                parts.append(f'<img src="{src}"{alt_attr}>')
+            else:
+                parts.append(f'<img alt="{escape(alt, quote=True)}">')
         elif tag in (f"{W_NS}footnoteReference", f"{W_NS}endnoteReference"):
             kind = "footnote" if tag.endswith("footnoteReference") else "endnote"
             nid = child.get(f"{W_NS}id", "")
@@ -408,6 +500,7 @@ def docx_to_html(
     except (zipfile.BadZipFile, KeyError, UnicodeDecodeError) as exc:
         raise ValueError(f"unreadable docx: {exc}") from exc
     p_map, r_map = parse_style_map(style_map, warnings)
+    ct_defaults, ct_overrides = _load_content_types(zf)
     ctx = _DocCtx(
         rels=_load_rels(zf),
         numbering=_load_numbering(zf),
@@ -415,6 +508,9 @@ def docx_to_html(
         r_style_map=r_map,
         footnotes=_load_notes(zf, "footnotes"),
         endnotes=_load_notes(zf, "endnotes"),
+        zf=zf,
+        ct_defaults=ct_defaults,
+        ct_overrides=ct_overrides,
     )
     try:
         html = docx_xml_to_html(document_xml, warnings, ctx)

@@ -32,18 +32,23 @@ RELS_XML = f"""<?xml version="1.0"?>
 </Relationships>"""
 
 
-def _docx(body: str, *, numbering: str | None = None, rels: str | None = None) -> bytes:
+def _docx(body: str, *, numbering: str | None = None, rels: str | None = None,
+          files: dict[str, bytes] | None = None,
+          content_types: str | None = None) -> bytes:
     document = (
         f'<w:document xmlns:w="{W}" xmlns:r="{R}"><w:body>{body}</w:body></w:document>'
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", '<?xml version="1.0"?><Types/>')
+        zf.writestr("[Content_Types].xml",
+                    content_types or '<?xml version="1.0"?><Types/>')
         zf.writestr("word/document.xml", document)
         if numbering:
             zf.writestr("word/numbering.xml", numbering)
         if rels:
             zf.writestr("word/_rels/document.xml.rels", rels)
+        for name, data in (files or {}).items():
+            zf.writestr(name, data)
     return buf.getvalue()
 
 
@@ -116,6 +121,106 @@ def test_image_placeholder_with_alt():
     )
     html, _ = docx_to_html(_docx(body))
     assert html == '<p><img alt="a red square"></p>'
+
+
+WP = "http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing"
+A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+
+def _drawing(rid: str, descr: str = "a red square") -> str:
+    return (
+        f'<w:p><w:r><w:drawing><wp:inline xmlns:wp="{WP}" xmlns:a="{A}" '
+        f'xmlns:r="{R}"><wp:docPr id="1" name="Pic" descr="{descr}"/>'
+        f'<a:graphic><a:graphicData><a:blip r:embed="{rid}"/>'
+        f"</a:graphicData></a:graphic></wp:inline></w:drawing></w:r></w:p>"
+    )
+
+
+def _img_rels(rid: str, target: str) -> str:
+    return (
+        f'<?xml version="1.0"?><Relationships xmlns="{RELS}">'
+        f'<Relationship Id="{rid}" Type="http://x/image" Target="{target}"/>'
+        f"</Relationships>"
+    )
+
+
+def _tiny_png() -> bytes:
+    import numpy as np
+    from extract_kit_ray.functions.png import encode_png
+    return encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+
+
+def test_embedded_image_becomes_data_uri():
+    import base64
+    png = _tiny_png()
+    payload = _docx(
+        _drawing("rId9"),
+        rels=_img_rels("rId9", "media/image1.png"),
+        files={"word/media/image1.png": png},
+        content_types=(
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Default Extension="png" ContentType="image/png"/></Types>'
+        ),
+    )
+    html, warnings = docx_to_html(payload)
+    b64 = base64.b64encode(png).decode()
+    assert html == (
+        f'<p><img src="data:image/png;base64,{b64}" alt="a red square"></p>'
+    )
+    assert warnings == []
+    # end-to-end markdown: the long data URI truncates to mime-only
+    # (html-to-markdown.ts:242-255 smartImage rule)
+    rec = extract_document(payload)
+    assert "![a red square](data:image/png...)" in rec["text"]
+
+
+def test_legacy_pict_imagedata_resolves_bytes():
+    v = "urn:schemas-microsoft-com:vml"
+    body = (
+        f'<w:p><w:r><w:pict><v:shape xmlns:v="{v}" xmlns:r="{R}">'
+        f'<v:imagedata r:id="rId3"/></v:shape></w:pict></w:r></w:p>'
+    )
+    payload = _docx(
+        body,
+        rels=_img_rels("rId3", "media/legacy.gif"),
+        files={"word/media/legacy.gif": b"GIF89a-fake-bytes"},
+    )
+    html, warnings = docx_to_html(payload)
+    # no [Content_Types].xml default: mammoth extension fallback map
+    assert 'src="data:image/gif;base64,' in html
+    assert warnings == []
+
+
+def test_image_content_type_override_wins():
+    payload = _docx(
+        _drawing("rId9"),
+        rels=_img_rels("rId9", "media/image1.bin"),
+        files={"word/media/image1.bin": b"\x00\x01"},
+        content_types=(
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Override PartName="/word/media/image1.bin" '
+            'ContentType="image/webp"/></Types>'
+        ),
+    )
+    html, _ = docx_to_html(payload)
+    assert 'src="data:image/webp;base64,' in html
+
+
+def test_image_missing_part_degrades_to_placeholder():
+    payload = _docx(_drawing("rId9"),
+                    rels=_img_rels("rId9", "media/gone.png"))
+    html, warnings = docx_to_html(payload)
+    assert html == '<p><img alt="a red square"></p>'
+    assert any("image part not found" in w for w in warnings)
+
+
+def test_image_unresolved_relationship_degrades():
+    payload = _docx(_drawing("rId404"))
+    html, warnings = docx_to_html(payload)
+    assert html == '<p><img alt="a red square"></p>'
+    assert any("unresolved relationship id" in w for w in warnings)
 
 
 def test_style_map_overrides():
