@@ -15,7 +15,12 @@ Scope (deterministic, documented):
 - page order from the catalog's page tree (``/Root -> /Pages ->
   /Kids`` recursion); falls back to content-stream discovery order
   when the tree is malformed
-- content streams uncompressed or ``/FlateDecode`` (zlib)
+- content streams uncompressed or filtered with ``/FlateDecode``,
+  ``/LZWDecode``, ``/ASCIIHexDecode``, ``/ASCII85Decode``,
+  ``/RunLengthDecode`` (and their abbreviations), alone or chained,
+  with TIFF/PNG ``/Predictor`` support for Flate/LZW; ``/DCTDecode``
+  (JPEG) and ``/JBIG2Decode`` remain out of scope (image-only filters
+  — ValueError -> failure-as-data)
 - text from ``Tj``, ``TJ``, ``'`` and ``"`` operators in literal
   ``(...)`` strings (with escapes and octal) or hex ``<...>`` strings
 - positioning via ``BT/ET``, ``Tm``, ``Td``, ``TD``, ``T*``, ``TL``;
@@ -171,15 +176,223 @@ def _stream_data(body: bytes) -> bytes | None:
         if end < 0:
             raise ValueError("stream without endstream")
         raw = body[j:end].rstrip(b"\r\n")
-    head = body[:i]
-    if b"/FlateDecode" in head:
-        try:
-            raw = zlib.decompress(raw)
-        except zlib.error as exc:
-            raise ValueError(f"FlateDecode failed: {exc}") from exc
-    elif b"/Filter" in head:
-        m2 = re.search(rb"/Filter\s*/?(\w*)", head)
-        raise ValueError(f"unsupported stream filter: {m2.group(1).decode('latin-1') if m2 else '?'}")
+    return _apply_filters(raw, body[:i])
+
+
+# ---------------------------------------------------------------------------
+# stream filters (ISO 32000-1 §7.4): Flate, LZW, ASCIIHex, ASCII85,
+# RunLength — single names or chains, with optional Flate/LZW predictors
+# ---------------------------------------------------------------------------
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF /LZWDecode (TIFF-convention LZW, ISO 32000-1 §7.4.4):
+    MSB-first variable-width codes starting at 9 bits, Clear=256,
+    EOD=257, width grows at table sizes 511/1023/2047 (one code early
+    when EarlyChange=1, the default)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    bitbuf = 0
+    bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            bitcnt -= width
+            code = (bitbuf >> bitcnt) & ((1 << width) - 1)
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("LZW: first code after clear not literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # missing EOD: tolerate, emit what decoded
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    digits = bytes(c for c in data if c not in _WS)
+    if len(digits) % 2:
+        digits += b"0"  # odd final digit implies trailing 0 (spec)
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(f"ASCIIHexDecode failed: {exc}") from exc
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x7A:  # 'z' = four zero bytes, only between groups
+            if group:
+                raise ValueError("ASCII85Decode: 'z' inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"ASCII85Decode: bad byte {c:#x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for d in group:
+                acc = acc * 85 + d
+            if acc > 0xFFFFFFFF:
+                raise ValueError("ASCII85Decode: group overflow")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:  # partial final group: pad with 'u', keep len-1 bytes
+        if len(group) == 1:
+            raise ValueError("ASCII85Decode: lone trailing digit")
+        n = len(group)
+        acc = 0
+        for d in group + [84] * (5 - n):
+            acc = acc * 85 + d
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            out += data[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            out += data[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parms: bytes) -> bytes:
+    """Flate/LZW /DecodeParms predictors: 2 = TIFF horizontal diff,
+    >=10 = PNG row filters (reuses the PNG codec's unfilter)."""
+    m = _PRED_RE.search(parms)
+    predictor = int(m.group(1)) if m else 1
+    if predictor <= 1:
+        return data
+    mc = _COLS_RE.search(parms)
+    columns = int(mc.group(1)) if mc else 1
+    mk = _COLORS_RE.search(parms)
+    colors = int(mk.group(1)) if mk else 1
+    if b"/BitsPerComponent" in parms and not re.search(
+        rb"/BitsPerComponent\s+8\b", parms
+    ):
+        raise ValueError("predictor with BitsPerComponent != 8 unsupported")
+    import numpy as np
+
+    if predictor == 2:
+        arr = np.frombuffer(data, dtype=np.uint8).copy()
+        rowlen = columns * colors
+        if rowlen <= 0 or len(arr) % rowlen:
+            raise ValueError("TIFF predictor: data not a row multiple")
+        rows = arr.reshape(-1, columns, colors)
+        np.cumsum(rows, axis=1, dtype=np.uint8, out=rows)
+        return rows.tobytes()
+    # PNG predictors (10..15): each row prefixed by its filter byte
+    from .png import _unfilter
+
+    rowlen = columns * colors + 1
+    if rowlen <= 1 or len(data) % rowlen:
+        raise ValueError("PNG predictor: data not a row multiple")
+    height = len(data) // rowlen
+    arr = _unfilter(np.frombuffer(data, dtype=np.uint8), height, columns, colors)
+    return arr.tobytes()
+
+
+_FILTERS = {
+    b"FlateDecode": None,  # handled inline (predictor support)
+    b"Fl": None,
+    b"LZWDecode": None,
+    b"LZW": None,
+    b"ASCIIHexDecode": _ascii_hex_decode,
+    b"AHx": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"RunLengthDecode": _run_length_decode,
+    b"RL": _run_length_decode,
+}
+
+
+def _decode_parms(head: bytes) -> bytes:
+    """The /DecodeParms (or legacy /DP) dict bytes, b'' when absent.
+    Chains with per-filter parm arrays keep only the dict contents —
+    predictors apply to the single Flate/LZW stage in practice."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*\[?\s*(?:null\s*)*<<(.*?)>>", head, re.S)
+    return m.group(1) if m else b""
+
+
+def _apply_filters(raw: bytes, head: bytes) -> bytes:
+    """Run the stream's /Filter chain (ISO 32000-1 §7.4.1: a name or an
+    array applied left to right) over the raw bytes."""
+    m = _FILTER_RE.search(head)
+    if m is None:
+        if b"/Filter" in head:
+            raise ValueError("unparseable /Filter entry")
+        return raw
+    names = [g.group(1) for g in _NAME_RE.finditer(m.group(1))]
+    parms = _decode_parms(head)
+    for name in names:
+        if name not in _FILTERS:
+            raise ValueError(
+                f"unsupported stream filter: {name.decode('latin-1')}")
+        fn = _FILTERS[name]
+        if fn is not None:
+            raw = fn(raw)
+            continue
+        if name in (b"FlateDecode", b"Fl"):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"FlateDecode failed: {exc}") from exc
+        else:  # LZWDecode
+            me = _EARLY_RE.search(parms)
+            raw = _lzw_decode(raw, int(me.group(1)) if me else 1)
+        if parms:
+            raw = _apply_predictor(raw, parms)
     return raw
 
 
@@ -588,10 +801,88 @@ def _escape_pdf_string(s: str) -> bytes:
     return out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def make_pdf(pages: list[list[tuple[str, float, float]]], *, compress: bool = False) -> bytes:
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-convention LZW encoder (EarlyChange=1) — fixture tooling for
+    exercising :func:`_lzw_decode`, mirror of its width schedule."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    emit(256)  # leading Clear (what real encoders write)
+    seq = b""
+    for i in range(len(data)):
+        nxt = seq + data[i : i + 1]
+        if nxt in table:
+            seq = nxt
+            continue
+        emit(table[seq])
+        table[nxt] = next_code
+        next_code += 1
+        # decoder grows its read width when ITS table (one entry behind
+        # the encoder's) reaches 2^width - 1 under EarlyChange=1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code > 4094:  # table nearly full: clear and restart
+            emit(256)
+            table = {bytes([b]): b for b in range(256)}
+            next_code = 258
+            width = 9
+        seq = data[i : i + 1]
+    if seq:
+        emit(table[seq])
+    emit(257)  # EOD
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _encode_stream(stream: bytes, stream_filter: str) -> tuple[bytes, bytes]:
+    """(encoded bytes, dict head) for a fixture content stream."""
+    if stream_filter == "none":
+        return stream, b"<< /Length %d >>" % len(stream)
+    if stream_filter == "flate":
+        data = zlib.compress(stream)
+        filt = b"/FlateDecode"
+    elif stream_filter == "lzw":
+        data = _lzw_encode(stream)
+        filt = b"/LZWDecode"
+    elif stream_filter == "rl":
+        # naive run-length: literal copies in <=128-byte chunks
+        data = b"".join(
+            bytes([len(stream[i : i + 128]) - 1]) + stream[i : i + 128]
+            for i in range(0, len(stream), 128)) + b"\x80"
+        filt = b"/RunLengthDecode"
+    elif stream_filter == "ahx":
+        data = stream.hex().encode("ascii") + b">"
+        filt = b"/ASCIIHexDecode"
+    elif stream_filter == "a85flate":
+        import base64
+
+        data = base64.a85encode(zlib.compress(stream)) + b"~>"
+        filt = b"[/ASCII85Decode /FlateDecode]"
+    else:
+        raise ValueError(f"unknown fixture stream_filter {stream_filter!r}")
+    return data, b"<< /Length %d /Filter %s >>" % (len(data), filt)
+
+
+def make_pdf(pages: list[list[tuple[str, float, float]]], *,
+             compress: bool = False, stream_filter: str | None = None) -> bytes:
     """Build a small valid PDF: one content stream per page, one ``Tj``
     per (text, x, y) run.  ``compress=True`` Flate-encodes the streams
-    (exercising the decode path).  Classic xref table included."""
+    (exercising the decode path); ``stream_filter`` picks any supported
+    filter ("none"/"flate"/"lzw"/"rl"/"ahx"/"a85flate").  Classic xref
+    table included."""
     objects: list[bytes] = []  # bodies, 1-based object numbers
 
     n_pages = len(pages)
@@ -614,12 +905,8 @@ def make_pdf(pages: list[list[tuple[str, float, float]]], *, compress: bool = Fa
                 % (rx, ry, _escape_pdf_string(text)))
         parts.append(b"ET")
         stream = b"\n".join(parts)
-        if compress:
-            data = zlib.compress(stream)
-            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
-        else:
-            data = stream
-            head = b"<< /Length %d >>" % len(data)
+        data, head = _encode_stream(
+            stream, stream_filter or ("flate" if compress else "none"))
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")

@@ -110,6 +110,62 @@ def test_unsupported_filter_raises():
         pdf_to_layout_pages(bad)
 
 
+@pytest.mark.parametrize("filt", ["none", "flate", "lzw", "rl", "ahx", "a85flate"])
+def test_all_stream_filters_roundtrip(filt):
+    pdf = make_pdf(
+        [[("filtered text", 72.0, 700.0), ("line two", 72.0, 680.0)]],
+        stream_filter=filt,
+    )
+    assert _texts(pdf) == ["filtered text\nline two"]
+
+
+def test_lzw_spec_vector_and_roundtrip():
+    from extract_kit_ray.functions.pdf_text import _lzw_decode, _lzw_encode
+
+    # ISO 32000-1 §7.4.4 worked example
+    assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) == b"-----A---B"
+    # width growth past 9 bits + table reset (>4094 codes)
+    big = (b"the quick brown fox jumps over the lazy dog " * 1500)
+    assert _lzw_decode(_lzw_encode(big)) == big
+    import random
+
+    rnd = bytes(random.Random(3).randrange(256) for _ in range(4000))
+    assert _lzw_decode(_lzw_encode(rnd)) == rnd
+
+
+def test_ascii85_edge_cases():
+    import base64
+
+    from extract_kit_ray.functions.pdf_text import _ascii85_decode
+
+    for payload in (b"", b"a", b"ab", b"abc", b"abcd", bytes(range(256))):
+        assert _ascii85_decode(base64.a85encode(payload) + b"~>") == payload
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"\x7fbad~>")  # byte outside '!'..'u'
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"abcdea~>")  # lone trailing digit after a group
+
+
+def test_flate_png_predictor():
+    import numpy as np
+
+    from extract_kit_ray.functions.pdf_text import _apply_filters
+
+    cols = 8
+    rows = np.arange(3 * cols, dtype=np.uint8).reshape(3, cols)
+    pred = bytearray()
+    prev = np.zeros(cols, dtype=np.uint8)
+    for r in rows:  # PNG filter type 2 (Up) per row
+        pred.append(2)
+        pred += bytes((r - prev) & 0xFF)
+        prev = r
+    comp = zlib.compress(bytes(pred))
+    head = (b"<< /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 12 /Columns 8 >> /Length %d >>" % len(comp))
+    assert _apply_filters(comp, head) == rows.tobytes()
+
+
 def test_fallback_without_page_tree():
     # no catalog: discovery order over BT-bearing streams
     raw = (b"%PDF-1.4\n7 0 obj\n<< /Length 31 >>\nstream\n"
