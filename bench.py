@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "user_event_gaps",
     "asof_last_purchase",
+    "range_join_views",
     "sessionize",
     "simhash_dups",
     "top_docs_per_source",

@@ -932,6 +932,51 @@ def q_asof_last_purchase(sf_dir: str) -> "ray.data.Dataset":
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_range_join_views(sf_dir: str) -> "ray.data.Dataset":
+    """Range (interval-containment) join: every 'view' event paired with
+    each same-user click window ``[click_ts, click_ts + 24h]`` that
+    contains it (ops/rangejoin.py — bucketed union + vectorized
+    per-bucket merge/filter; inner-join semantics, multi-containment
+    emits one row per window).  SQL oracle is a plain theta join with
+    BETWEEN."""
+    from .ops.rangejoin import range_join
+
+    views = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'view'").drop_columns(["event_type"])
+
+    _WIN_US = 24 * 3_600_000_000
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        start = pc.cast(batch["ts"], pa.timestamp("us"))
+        end = pc.cast(
+            pc.add(pc.cast(start, pa.int64()), _WIN_US), pa.timestamp("us"))
+        return pa.table(
+            {"user_id": batch["user_id"], "win_start": start, "win_end": end})
+
+    windows = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'click'").map_batches(
+        to_windows, batch_format="pyarrow")
+
+    out = range_join(
+        views, windows, key_col="user_id", ts_col="ts",
+        start_col="win_start", end_col="win_end",
+        num_buckets=_USER_BUCKETS, closed="both")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "view_ts": pc.cast(batch["ts"], pa.timestamp("us")),
+                "win_start": pc.cast(batch["win_start"], pa.timestamp("us")),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_events_sliding(sf_dir: str) -> "ray.data.Dataset":
     """SLIDING-window aggregate (2h windows, 1h slide): each event lands
     in two windows — window keys expand per row inside map_batches (no
@@ -1742,6 +1787,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "user_event_gaps": q_user_event_gaps,
     "asof_last_purchase": q_asof_last_purchase,
+    "range_join_views": q_range_join_views,
     "events_sliding": q_events_sliding,
     "sessionize": q_sessionize,
     "top_docs_per_source": q_top_docs_per_source,
@@ -1942,6 +1988,16 @@ ORACLE_SQL = {
         "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
         "WHERE event_type = 'purchase') b "
         "ON a.user_id = b.user_id AND b.ts <= a.ts"
+    ),
+    "range_join_views": (
+        "SELECT v.event_id AS event_id, v.user_id AS user_id, "
+        "v.ts AS view_ts, c.ts AS win_start "
+        "FROM (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'view') v "
+        "JOIN (SELECT user_id, ts FROM events "
+        "WHERE event_type = 'click') c "
+        "ON v.user_id = c.user_id "
+        "AND v.ts BETWEEN c.ts AND c.ts + INTERVAL 24 HOUR"
     ),
     # sliding 2h/1h windows: each event contributes to window_start =
     # floor(ts) and floor(ts) - 1h (UNION ALL expansion on the SQL side)

@@ -37,6 +37,7 @@ CHECKED = [
     "vocab_topk",
     "distinct_lang_source",
     "segment_sales",
+    "range_join_views",
     # round-2 additions
     "extract_pdf_roundtrip",
     "extract_docx_roundtrip",

@@ -390,6 +390,54 @@ def test_asof_join_backward_and_edges(ray_session):
     assert pd.isna(by_id[4])                             # key has no right rows
 
 
+def test_range_join_containment_semantics(ray_session):
+    """Interval-containment join: multi-containment emits one row per
+    window, non-contained rows drop (inner), keys isolated, and the
+    closed='both' vs 'left' boundary."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from extract_kit_ray.ops.rangejoin import range_join
+
+    def ts(s):
+        return pd.Timestamp(s).as_unit("us").to_datetime64()
+
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([10, 10, 10, 99], pa.int64()),
+        "ts": pa.array([ts("2024-01-01 01:30"),   # inside both windows
+                        ts("2024-01-01 02:00"),   # exactly at w1 end
+                        ts("2024-01-01 05:00"),   # outside all
+                        ts("2024-01-01 01:30")],  # key with no windows
+                       pa.timestamp("us")),
+    })
+    right = pa.table({
+        "user_id": pa.array([10, 10, 77], pa.int64()),
+        "s": pa.array([ts("2024-01-01 01:00"), ts("2024-01-01 01:15"),
+                       ts("2024-01-01 00:00")], pa.timestamp("us")),
+        "e": pa.array([ts("2024-01-01 02:00"), ts("2024-01-01 03:00"),
+                       ts("2024-01-01 09:00")], pa.timestamp("us")),
+    })
+    out = range_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key_col="user_id", ts_col="ts", start_col="s", end_col="e",
+        num_buckets=4).take_all()
+    pairs = sorted((r["event_id"], str(r["s"])) for r in out)
+    assert pairs == [
+        (1, "2024-01-01 01:00:00"), (1, "2024-01-01 01:15:00"),
+        (2, "2024-01-01 01:00:00"),  # closed='both': end inclusive
+        (2, "2024-01-01 01:15:00"),
+    ]
+    out_l = range_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key_col="user_id", ts_col="ts", start_col="s", end_col="e",
+        num_buckets=4, closed="left").take_all()
+    pairs_l = sorted((r["event_id"], str(r["s"])) for r in out_l)
+    assert (2, "2024-01-01 01:00:00") not in pairs_l  # end exclusive
+    assert (2, "2024-01-01 01:15:00") in pairs_l
+
+
 def test_hll_sketch_accuracy_and_merge():
     import numpy as np
 
