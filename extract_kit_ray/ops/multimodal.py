@@ -3,12 +3,13 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Decode support per kind (round 3 — the pixel path is REAL now):
 
-- **image/png**: pure-Python PNG codec (functions/png.py, zlib +
-  numpy) — decode, optional center-crop, budget resize
-  (nearest-neighbor), percentile contrast stretch, PNG re-encode with
-  actual before/after byte metrics.  This makes M15-M18 honest
-  end-to-end; other image formats (JPEG needs a DCT codec this
-  container lacks) raise ValueError -> failure-as-data.
+- **image/png + image/jpeg**: pure-Python codecs (functions/png.py:
+  zlib + numpy; functions/jpeg.py: baseline DCT huffman, 4:2:0 and
+  restart markers) — magic-byte dispatch, decode, optional
+  center-crop, budget resize (nearest-neighbor), percentile contrast
+  stretch, re-encode IN THE INPUT'S CONTAINER with actual
+  before/after byte metrics.  This makes M15-M18 honest end-to-end;
+  other image containers raise ValueError -> failure-as-data.
 - **audio/wav**: real RIFF/WAVE header parse (PCM fmt chunk) —
   sample rate, channels, bit depth, duration from the data chunk.
 - **video**: deterministic STUB (no ffmpeg in this container — driver
@@ -29,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import hash64
+from ..functions.jpeg import decode_jpeg, encode_jpeg
 from ..functions.png import (
     center_crop,
     contrast_stretch,
@@ -36,6 +38,29 @@ from ..functions.png import (
     encode_png,
     resize_nearest,
 )
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """Magic-byte image dispatch: (pixels, container) where container is
+    'png' or 'jpeg'.  Anything else -> ValueError (failure-as-data
+    upstream), mirroring the reference's Sharp input-format set minus
+    the exotics (image-optimization.ts takes whatever Sharp decodes;
+    we support the two containers the fixtures and the PDF image
+    XObjects actually produce)."""
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload), "png"
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload), "jpeg"
+    raise ValueError("unsupported image container (PNG/JPEG magic expected)")
+
+
+def encode_image(arr: np.ndarray, container: str) -> bytes:
+    """Re-encode optimized pixels in the input's own container."""
+    if container == "jpeg":
+        return encode_jpeg(arr, quality=JPEG_QUALITY)
+    return encode_png(arr)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -220,7 +245,7 @@ class MediaFeatureExtractor:
     )
 
     def _image_row(self, payload: bytes) -> dict:
-        arr = decode_png(payload)
+        arr, container = decode_image(payload)
         h, w = arr.shape[:2]
         out = arr
         plan = center_crop_plan(w, h, self.crop_size) if self.crop_size else None
@@ -230,7 +255,7 @@ class MediaFeatureExtractor:
         out = resize_nearest(out, tw, th)
         if self.enhance:
             out = contrast_stretch(out, CONTRAST_LOW_P, CONTRAST_HIGH_P)
-        optimized = encode_png(out)
+        optimized = encode_image(out, container)
         ratio = len(payload) / max(1, len(optimized))
         return {
             "width": w, "height": h, "tw": tw, "th": th,
@@ -353,13 +378,28 @@ WAV_RATE = lambda i: 8000 + (i % 8) * 1000    # noqa: E731
 VID_DUR_MS = lambda i: 1000 + (i * 37) % 59000  # noqa: E731
 
 
+# image fixture rows emitted as baseline JPEG instead of PNG — a fixed
+# small-pixel-count subset (the pure-Python entropy coder is ~1s/MP, so
+# the JPEG share is bounded at ~1 MP total) covering the decoder's three
+# scan modes; all other image rows stay PNG (the fast bench default)
+_JPEG_FIXTURE_ROWS: dict[int, dict] = {
+    0: {},                                      # 400x300 baseline 4:4:4
+    60: {"subsample": True},                    # 620x460 4:2:0
+    150: {},                                    # 550x350 4:4:4
+    210: {"restart_interval": 4},               # 770x510 restart markers
+}
+
+
 def make_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic synthetic media table: REAL PNG payloads (gradient
     pixels, dimensions closed-form in media_id — some above the pixtral
-    pixel budget so the resize path triggers), REAL PCM WAVs
-    (closed-form sample counts/rates), opaque pseudo-random bytes for
-    video (decoder stubbed), and planted empty-payload failure rows at
-    media_id % 17 == 13."""
+    pixel budget so the resize path triggers), REAL baseline-JPEG
+    payloads on a fixed small-image subset (plain / 4:2:0 / restart
+    variants so every jpeg.py decoder path runs e2e; the geometry
+    oracle is container-agnostic so the subset choice is free), REAL
+    PCM WAVs (closed-form sample counts/rates), opaque pseudo-random
+    bytes for video (decoder stubbed), and planted empty-payload
+    failure rows at media_id % 17 == 13."""
     import random
 
     ids, kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
@@ -376,7 +416,11 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
             arr = np.empty((h, w, 3), dtype=np.uint8)
             for c in range(3):
                 arr[:, :, c] = (x + 2 * y + 11 * i + 40 * c) % 256
-            payloads.append(encode_png(arr))
+            jkw = _JPEG_FIXTURE_ROWS.get(i)
+            if jkw is not None:
+                payloads.append(encode_jpeg(arr, quality=JPEG_QUALITY, **jkw))
+            else:
+                payloads.append(encode_png(arr))
         elif kind == "audio":
             payloads.append(make_wav(WAV_SAMPLES(i), WAV_RATE(i), seed=i))
         else:
@@ -384,8 +428,11 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
             size = rng.randint(200, 4000)
             payloads.append(bytes(rng.getrandbits(8) for _ in range(size)))
             dur = VID_DUR_MS(i)
-        mimes.append({"image": "image/png", "audio": "audio/wav",
-                      "video": "video/mp4"}[kind])
+        mime = {"image": "image/png", "audio": "audio/wav",
+                "video": "video/mp4"}[kind]
+        if kind == "image" and i in _JPEG_FIXTURE_ROWS:
+            mime = "image/jpeg"
+        mimes.append(mime)
         ws.append(-1)
         hs.append(-1)
         durs.append(dur)
