@@ -1765,6 +1765,48 @@ def q_sample_fraction_docs(sf_dir: str) -> "ray.data.Dataset":
                            fraction=_SAMPLE_FRACTION).select_columns(["doc_id", "lang"])
 
 
+def _plant_pii_batch(batch: pa.Table) -> pa.Table:
+    """Append a deterministic PII footer (email + phone + IPv4, all
+    closed-form in doc_id) to docs with doc_id % 3 != 2 — the driver
+    corpus carries no organic PII, so the redactor would otherwise be
+    tested on nothing.  The SQL oracle concatenates the identical
+    footer, so redaction is checked end-to-end, not just counted."""
+    did = batch["doc_id"].to_numpy()
+    s = did.astype("U20")
+    xxx = (did % 900 + 100).astype("U20")
+    yyyy = (did % 9000 + 1000).astype("U20")
+    a = (did % 200).astype("U20")
+    b = ((did * 7) % 256).astype("U20")
+    c = (did % 250).astype("U20")
+    add = np.char.add
+    footer = add(" Contact user", s)
+    footer = add(footer, "@mail.example or +1-555-")
+    footer = add(add(add(footer, xxx), "-"), yyyy)
+    footer = add(add(footer, " at 10."), a)
+    footer = add(add(add(add(footer, "."), b), "."), c)
+    footer = np.where(did % 3 == 2, "", footer)
+    import pyarrow.compute as pc
+
+    aug = pc.binary_join_element_wise(batch["text"], pa.array(footer), "")
+    return batch.set_column(batch.schema.get_field_index("text"), "text", aug)
+
+
+def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII scrub — the C4/Gopher-style mask pass a web corpus gets
+    before tokenization: emails -> <EMAIL>, IPv4 -> <IP>, phones ->
+    <PHONE>, plus per-category counts.  Single stateless map_batches
+    over zero-copy Arrow; every kernel is pyarrow.compute's RE2, which
+    is the same regex engine DuckDB uses, so the oracle comparison is
+    byte-exact.  No shuffle — embarrassingly parallel at any scale."""
+    from .ops.redact import redact_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(_plant_pii_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        redact_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -1816,6 +1858,7 @@ QUERIES = {
     "layout_fanout": q_layout_fanout,
     "stratified_sample_by_lang": q_stratified_sample_by_lang,
     "sample_fraction_docs": q_sample_fraction_docs,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLE_SQL = {
@@ -2361,3 +2404,30 @@ def _content_tokens_oracle() -> str:
 
 
 ORACLE_SQL["content_token_counts"] = _content_tokens_oracle()
+
+
+# PII scrub: the oracle rebuilds the planted footer with the same
+# integer arithmetic, then nests regexp_replace in PII_PATTERNS order —
+# both engines are RE2, so red_text matches byte-for-byte
+def _pii_oracle() -> str:
+    from .ops.redact import oracle_count_exprs, oracle_redact_expr
+
+    footer = (
+        "' Contact user' || doc_id || '@mail.example or +1-555-' || "
+        "CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || "
+        "CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' at 10.' || "
+        "CAST(doc_id % 200 AS VARCHAR) || '.' || "
+        "CAST(doc_id * 7 % 256 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 250 AS VARCHAR)"
+    )
+    counts = ", ".join(oracle_count_exprs("t"))
+    return (
+        "WITH aug AS (SELECT doc_id, text || "
+        f"CASE WHEN doc_id % 3 = 2 THEN '' ELSE {footer} END AS t "
+        "FROM documents) "
+        f"SELECT doc_id, {oracle_redact_expr('t')} AS red_text, {counts} "
+        "FROM aug"
+    )
+
+
+ORACLE_SQL["pii_redact"] = _pii_oracle()

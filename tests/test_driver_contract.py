@@ -57,6 +57,8 @@ CHECKED = [
     "lsh_recall",
     "ivf_recall",
     "lineage_by_domain",
+    # round-3 additions
+    "pii_redact",
 ]
 
 
