@@ -1791,6 +1791,41 @@ def _plant_pii_batch(batch: pa.Table) -> pa.Table:
     return batch.set_column(batch.schema.get_field_index("text"), "text", aug)
 
 
+def q_customers_no_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed ANTI join (Dataset.join left_anti): customers with no
+    1-URGENT order.  Completes the join family alongside inner shuffle
+    (segment_sales), broadcast (revenue_by_brand), as-of and range
+    joins — anti/semi are the dedup-against-reference primitives a
+    100 TB pipeline uses constantly (e.g. "docs NOT in yesterday's
+    crawl").  The right side is priority-filtered so the result is
+    non-trivial at every sf (the driver corpus gives every customer at
+    least one order of SOME priority)."""
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    return customer.join(urgent, join_type="left_anti", num_partitions=4,
+                         on=("c_custkey",), right_on=("o_custkey",))
+
+
+def q_urgent_customers_semi(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed SEMI join (Dataset.join left_semi): customers with at
+    least one 1-URGENT order — existence filtering without duplicating
+    left rows (what an inner join would do)."""
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"])
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    return customer.join(urgent, join_type="left_semi", num_partitions=4,
+                         on=("c_custkey",), right_on=("o_custkey",))
+
+
 def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
     """PII scrub — the C4/Gopher-style mask pass a web corpus gets
     before tokenization: emails -> <EMAIL>, IPv4 -> <IP>, phones ->
@@ -1859,6 +1894,8 @@ QUERIES = {
     "stratified_sample_by_lang": q_stratified_sample_by_lang,
     "sample_fraction_docs": q_sample_fraction_docs,
     "pii_redact": q_pii_redact,
+    "customers_no_orders": q_customers_no_orders,
+    "urgent_customers_semi": q_urgent_customers_semi,
 }
 
 ORACLE_SQL = {
@@ -2431,3 +2468,15 @@ def _pii_oracle() -> str:
 
 
 ORACLE_SQL["pii_redact"] = _pii_oracle()
+
+ORACLE_SQL["customers_no_orders"] = (
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderpriority = '1-URGENT')"
+)
+
+ORACLE_SQL["urgent_customers_semi"] = (
+    "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderpriority = '1-URGENT')"
+)

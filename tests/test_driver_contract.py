@@ -59,6 +59,8 @@ CHECKED = [
     "lineage_by_domain",
     # round-3 additions
     "pii_redact",
+    "customers_no_orders",
+    "urgent_customers_semi",
 ]
 
 
