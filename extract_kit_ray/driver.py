@@ -1826,6 +1826,26 @@ def q_urgent_customers_semi(sf_dir: str) -> "ray.data.Dataset":
                          on=("c_custkey",), right_on=("o_custkey",))
 
 
+def q_decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """Benchmark decontamination (GPT-3-style 13-gram probes): a small
+    "benchmark" subset of the corpus (doc_id % 97 == 3) yields leading
+    13-word probes; every doc is scanned for them verbatim after
+    whitespace normalization.  Broadcast probes (ray.put once, read per
+    actor) + one stateless vectorized pass — never a shuffle; the
+    benchmark side is small by definition.  The corpus's organic
+    near-duplicates (~5%) make hits non-trivial beyond self-matches."""
+    from .ops.decontam import benchmark_probes, mark_contamination
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    probes = benchmark_probes(docs)
+    return mark_contamination(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        probes,
+    )
+
+
 def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
     """PII scrub — the C4/Gopher-style mask pass a web corpus gets
     before tokenization: emails -> <EMAIL>, IPv4 -> <IP>, phones ->
@@ -1896,6 +1916,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "customers_no_orders": q_customers_no_orders,
     "urgent_customers_semi": q_urgent_customers_semi,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -2474,6 +2495,28 @@ ORACLE_SQL["customers_no_orders"] = (
     "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
     "AND o.o_orderpriority = '1-URGENT')"
 )
+
+# decontamination: SQL rebuilds the distinct leading-13-word probes of
+# the doc_id % 97 == 3 subset, then counts containment per doc over the
+# same whitespace-normalized text (LEFT JOIN ON TRUE keeps all docs
+# even if the probe set were empty)
+def _decontam_oracle() -> str:
+    from .ops.decontam import PROBE_WORDS
+
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws, "
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents), "
+        "probes AS (SELECT DISTINCT "
+        f"array_to_string(ws[1:{PROBE_WORDS}], ' ') AS probe "
+        f"FROM w WHERE doc_id % 97 = 3 AND len(ws) >= {PROBE_WORDS}) "
+        "SELECT w.doc_id, CAST(coalesce(sum(CASE WHEN contains(w.norm, p.probe) "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_probes_hit "
+        "FROM w LEFT JOIN probes p ON TRUE GROUP BY w.doc_id"
+    )
+
+
+ORACLE_SQL["decontaminate"] = _decontam_oracle()
 
 ORACLE_SQL["urgent_customers_semi"] = (
     "SELECT c_custkey, c_name, c_acctbal FROM customer c "

@@ -61,6 +61,7 @@ CHECKED = [
     "pii_redact",
     "customers_no_orders",
     "urgent_customers_semi",
+    "decontaminate",
 ]
 
 
