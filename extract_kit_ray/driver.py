@@ -1846,6 +1846,28 @@ def q_decontaminate(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+_BM25_LO, _BM25_HI, _BM25_TOPK = 6, 10, 10
+
+
+def q_bm25_search(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k retrieval (the lexical half of the search family next
+    to ANN): query terms are the corpus's rank-6..10 words (self-
+    contained pick both sides derive identically), two streaming passes
+    (stats, then score+partial-top-k), candidates-only to the driver.
+    The rational-idf variant + pinned operation order + micro-unit
+    floor make numpy and DuckDB agree bit-for-bit (ops/bm25.py)."""
+    from .ops.bm25 import bm25_topk, top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    terms = top_terms(ds, lo_rank=_BM25_LO, hi_rank=_BM25_HI)
+    out = bm25_topk(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        terms, topk=_BM25_TOPK)
+    return out.sort_values(["term", "rank"]).reset_index(drop=True)
+
+
 def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
     """PII scrub — the C4/Gopher-style mask pass a web corpus gets
     before tokenization: emails -> <EMAIL>, IPv4 -> <IP>, phones ->
@@ -1917,6 +1939,7 @@ QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "urgent_customers_semi": q_urgent_customers_semi,
     "decontaminate": q_decontaminate,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -2495,6 +2518,45 @@ ORACLE_SQL["customers_no_orders"] = (
     "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
     "AND o.o_orderpriority = '1-URGENT')"
 )
+
+# BM25: the oracle re-derives the query terms, df/dl stats and scores
+# with the SAME pinned double-precision operation order as ops/bm25.py
+# (rational idf, e0-suffixed double literals, floor(x*1e6+0.5)) — the
+# micro-unit BIGINT scores therefore match bit-for-bit
+def _bm25_oracle() -> str:
+    from .ops.bm25 import B, K1
+
+    k1, b = f"{K1!r}e0", f"{B!r}e0"
+    idf = "((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))"
+    avgdl = "(CAST(s.sum_dl AS DOUBLE) / s.n_docs)"
+    denom = f"(tf.tf + {k1} * ((1e0 - {b}) + ({b} * len(w2.ws)) / {avgdl}))"
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'\\s+'), x -> x <> '') AS ws FROM documents), "
+        "tok AS (SELECT doc_id, unnest(ws) AS word FROM w), "
+        "vocab AS (SELECT word, count(*) AS n FROM tok GROUP BY word), "
+        "terms AS (SELECT word FROM (SELECT word, row_number() OVER "
+        "(ORDER BY n DESC, word ASC) AS r FROM vocab) "
+        f"WHERE r BETWEEN {_BM25_LO} AND {_BM25_HI}), "
+        "stats AS (SELECT count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) "
+        "AS sum_dl FROM w), "
+        "tf AS (SELECT tok.doc_id, tok.word, count(*) AS tf FROM tok "
+        "JOIN terms USING (word) GROUP BY 1, 2), "
+        "df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word), "
+        "scored AS (SELECT tf.word AS term, tf.doc_id, "
+        f"CAST(floor({idf} * tf.tf / {denom} * 1e6 + 0.5e0) AS BIGINT) "
+        "AS score_micro FROM tf "
+        "JOIN w w2 USING (doc_id) JOIN df d ON d.word = tf.word "
+        "CROSS JOIN stats s) "
+        "SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, score_micro "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY term "
+        "ORDER BY score_micro DESC, doc_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {_BM25_TOPK} ORDER BY term, rank"
+    )
+
+
+ORACLE_SQL["bm25_search"] = _bm25_oracle()
+
 
 # decontamination: SQL rebuilds the distinct leading-13-word probes of
 # the doc_id % 97 == 3 subset, then counts containment per doc over the

@@ -1,0 +1,171 @@
+"""Distributed BM25 full-text ranking over a document corpus.
+
+Search-style retrieval is the lookup half of a training-data engine
+(pair mining, eval-set retrieval, corpus QA) next to the embedding-ANN
+family in :mod:`.similarity`.  The reference has no search operator;
+this is an engine extension for the training-data role.
+
+Scale shape — two streaming passes, no document shuffle:
+
+1. **stats pass**: one ``map_batches`` emits a single partial row per
+   batch (doc count, token-length sum, per-term document frequency);
+   a global ``Dataset.aggregate`` folds them to one stats row.
+2. **score pass**: stats are broadcast into an actor pool; each batch
+   computes its tf matrix vectorized (Arrow ``split_pattern`` →
+   flatten + ``value_parent_indices`` → ``np.bincount``) and emits
+   only its per-term top-k candidate rows.  The driver merges
+   ``n_batches × T × k`` candidate rows — never the corpus.
+
+Determinism contract (what makes the SQL oracle exact): the rational
+idf variant ``(N - df + 0.5) / (df + 0.5)`` avoids ``ln`` (libm ulp
+differences between engines), every constant is a double, the
+operation order is pinned, and scores are published as
+``floor(score * 1e6 + 0.5)`` micro-units in BIGINT — so numpy float64
+and DuckDB DOUBLE agree bit-for-bit, including the rank order derived
+from them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+K1 = 1.2
+B = 0.75
+
+
+def _tokens(batch_col):
+    """Whitespace tokens per doc (the corpus-wide convention:
+    ``text.split()``): normalized → single-space split.  Returns
+    (ListArray words, int64 ndarray dl) with empty docs at dl 0."""
+    norm = pc.utf8_trim(pc.replace_substring_regex(batch_col, r"\s+", " "), " ")
+    words = pc.split_pattern(norm, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    dl = pc.list_value_length(words).to_numpy().astype(np.int64)
+    empty = pc.equal(norm, "").to_numpy(zero_copy_only=False)
+    dl[empty] = 0
+    return words, dl
+
+
+def _tf_matrix(words: pa.ListArray, n_rows: int, terms: list[str]) -> np.ndarray:
+    """(n_rows, len(terms)) int64 term-frequency matrix, fully
+    vectorized: one equality kernel + bincount per term over the
+    flattened token buffer."""
+    flat = pc.list_flatten(words)
+    parent = words.value_parent_indices().to_numpy()
+    tf = np.zeros((n_rows, len(terms)), dtype=np.int64)
+    for j, t in enumerate(terms):
+        mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+        if mask.any():
+            tf[:, j] = np.bincount(parent[mask], minlength=n_rows)
+    return tf
+
+
+def corpus_stats(ds, terms: list[str], *, text_col: str = "text") -> dict:
+    """One streaming pass → {n_docs, sum_dl, df: [per term]}."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words, dl = _tokens(batch[text_col])
+        tf = _tf_matrix(words, len(batch), terms)
+        row = {"n_docs": [len(batch)], "sum_dl": [int(dl.sum())]}
+        for j in range(len(terms)):
+            row[f"df_{j}"] = [int((tf[:, j] > 0).sum())]
+        return pa.table(row)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    aggs = [Sum(c, alias_name=c) for c in
+            ["n_docs", "sum_dl"] + [f"df_{j}" for j in range(len(terms))]]
+    row = partials.aggregate(*aggs)
+    return {"n_docs": row["n_docs"], "sum_dl": row["sum_dl"],
+            "df": [row[f"df_{j}"] for j in range(len(terms))]}
+
+
+def score_micro(tf: np.ndarray, dl: np.ndarray, *, n_docs: int, df: int,
+                avgdl: float) -> np.ndarray:
+    """BM25 (rational-idf variant) in micro-units — the EXACT operation
+    order the SQL oracle mirrors; see module docstring."""
+    idf = (n_docs - df + 0.5) / (df + 0.5)
+    denom = tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
+    score = idf * tf / denom
+    return np.floor(score * 1e6 + 0.5).astype(np.int64)
+
+
+def bm25_topk(ds, terms: list[str], *, topk: int = 10,
+              text_col: str = "text", key_col: str = "doc_id"):
+    """Top-k docs per query term.  Returns a pandas DataFrame with
+    columns (term, rank, doc_id, score_micro), rank 1-based, ties
+    broken by ascending doc key."""
+    import pandas as pd
+    import ray as _ray
+
+    stats = corpus_stats(ds, terms, text_col=text_col)
+    n_docs = int(stats["n_docs"])
+    avgdl = stats["sum_dl"] / n_docs  # int/int -> float64, mirrored in SQL
+    plan_ref = _ray.put({"terms": terms, "df": stats["df"],
+                         "n_docs": n_docs, "avgdl": avgdl, "topk": topk})
+
+    class Scorer:
+        def __init__(self):
+            import ray as _r
+
+            self.plan = _r.get(plan_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            p = self.plan
+            words, dl = _tokens(batch[text_col])
+            tf = _tf_matrix(words, len(batch), p["terms"])
+            keys = batch[key_col].to_numpy()
+            out_t, out_k, out_s = [], [], []
+            for j, term in enumerate(p["terms"]):
+                s = score_micro(tf[:, j], dl, n_docs=p["n_docs"],
+                                df=p["df"][j], avgdl=p["avgdl"])
+                hit = np.nonzero(s > 0)[0]
+                if len(hit) > p["topk"]:
+                    # partial top-k per batch: candidates only
+                    order = np.lexsort((keys[hit], -s[hit]))[: p["topk"]]
+                    hit = hit[order]
+                out_t.extend([term] * len(hit))
+                out_k.extend(keys[hit].tolist())
+                out_s.extend(s[hit].tolist())
+            return pa.table({"term": pa.array(out_t, pa.string()),
+                             key_col: pa.array(out_k, pa.int64()),
+                             "score_micro": pa.array(out_s, pa.int64())})
+
+    cand = ds.map_batches(Scorer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    # driver merge of n_batches x T x k candidate rows (tiny)
+    cand = cand.sort_values(["term", "score_micro", key_col],
+                            ascending=[True, False, True])
+    cand["rank"] = cand.groupby("term").cumcount() + 1
+    out = cand[cand["rank"] <= topk].reset_index(drop=True)
+    return pd.DataFrame({"term": out["term"],
+                         "rank": out["rank"].astype("int64"),
+                         key_col: out[key_col].astype("int64"),
+                         "score_micro": out["score_micro"].astype("int64")})
+
+
+def top_terms(ds, *, lo_rank: int, hi_rank: int, text_col: str = "text") -> list[str]:
+    """Corpus terms ranked (count DESC, term ASC) in [lo_rank, hi_rank]
+    1-based inclusive — the self-contained query-term pick both the
+    engine and the SQL oracle derive identically."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch[text_col].to_pylist():
+            c.update((text or "").split())
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("word").aggregate(Sum("n", alias_name="n")))
+    top = counts.sort(["n", "word"], descending=[True, False]).limit(hi_rank)
+    rows = top.take_all()
+    return [r["word"] for r in rows[lo_rank - 1: hi_rank]]

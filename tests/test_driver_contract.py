@@ -62,6 +62,7 @@ CHECKED = [
     "customers_no_orders",
     "urgent_customers_semi",
     "decontaminate",
+    "bm25_search",
 ]
 
 
