@@ -1868,6 +1868,22 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["term", "rank"]).reset_index(drop=True)
 
 
+def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
+    """Sequence packing (pre-training staple): docs packed next-fit
+    into CAPACITY-token bins within (source, doc_id//SHARD_DOCS)
+    shards.  Shard-local packing is the scale design — every shard
+    packs independently (one bucket shuffle, per-bin loop inside) —
+    and it bounds the oracle's recursive-CTE depth to the shard size."""
+    from .ops.packing import next_fit_pack
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+    sized = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                           zero_copy_batch=True).drop_columns(["text"])
+    return next_fit_pack(sized, size_col="n_tokens_ws").select_columns(
+        ["doc_id", "source", "shard", "n_tokens_ws", "bin_id"])
+
+
 def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
     """PII scrub — the C4/Gopher-style mask pass a web corpus gets
     before tokenization: emails -> <EMAIL>, IPv4 -> <IP>, phones ->
@@ -1940,6 +1956,7 @@ QUERIES = {
     "urgent_customers_semi": q_urgent_customers_semi,
     "decontaminate": q_decontaminate,
     "bm25_search": q_bm25_search,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -2518,6 +2535,40 @@ ORACLE_SQL["customers_no_orders"] = (
     "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
     "AND o.o_orderpriority = '1-URGENT')"
 )
+
+# sequence packing: next-fit is inherently sequential within a shard,
+# so the oracle walks each (source, shard) with a recursive CTE — depth
+# bounded by SHARD_DOCS (the same bound that makes the engine's packing
+# embarrassingly parallel)
+def _pack_oracle() -> str:
+    from .ops.packing import CAPACITY, SHARD_DOCS
+
+    return (
+        "WITH RECURSIVE "
+        "t AS (SELECT doc_id, source, doc_id // "
+        f"{SHARD_DOCS} AS shard, "
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+        "AS n_tokens_ws FROM documents), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source, shard "
+        "ORDER BY doc_id) AS rn FROM t), "
+        "pack AS ("
+        "SELECT source, shard, doc_id, n_tokens_ws, rn, "
+        "CAST(0 AS BIGINT) AS bin_id, n_tokens_ws AS fill "
+        "FROM r WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT r.source, r.shard, r.doc_id, r.n_tokens_ws, r.rn, "
+        f"CASE WHEN p.fill + r.n_tokens_ws <= {CAPACITY} THEN p.bin_id "
+        "ELSE p.bin_id + 1 END, "
+        f"CASE WHEN p.fill + r.n_tokens_ws <= {CAPACITY} "
+        "THEN p.fill + r.n_tokens_ws ELSE r.n_tokens_ws END "
+        "FROM pack p JOIN r ON r.source = p.source AND r.shard = p.shard "
+        "AND r.rn = p.rn + 1) "
+        "SELECT doc_id, source, shard, n_tokens_ws, bin_id FROM pack"
+    )
+
+
+ORACLE_SQL["pack_sequences"] = _pack_oracle()
+
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores
 # with the SAME pinned double-precision operation order as ops/bm25.py

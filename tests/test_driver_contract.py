@@ -63,6 +63,7 @@ CHECKED = [
     "urgent_customers_semi",
     "decontaminate",
     "bm25_search",
+    "pack_sequences",
 ]
 
 
