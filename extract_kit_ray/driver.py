@@ -1884,6 +1884,35 @@ def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
         ["doc_id", "source", "shard", "n_tokens_ws", "bin_id"])
 
 
+def _plant_unicode_batch(batch: pa.Table) -> pa.Table:
+    """Append deterministic non-NFC (decomposed e+combining-acute) and
+    control-char (BEL) suffixes — the driver corpus is clean ASCII, so
+    the normalizer would otherwise be tested on nothing.  The oracle
+    concatenates the identical suffixes via chr()."""
+    did = batch["doc_id"].to_numpy()
+    suf = np.where(did % 4 == 1, " nfc" + chr(101) + chr(769), "")
+    suf2 = np.where(did % 5 == 2, " x" + chr(7) + "y", "")
+    import pyarrow.compute as pc
+
+    aug = pc.binary_join_element_wise(
+        batch["text"], pa.array(np.char.add(suf, suf2)), "")
+    return batch.set_column(batch.schema.get_field_index("text"), "text", aug)
+
+
+def q_normalize_text(sf_dir: str) -> "ray.data.Dataset":
+    """Unicode canonicalization (NFC + control strip) — the pass that
+    precedes hashing/dedup so byte-different spellings collapse.  One
+    stateless vectorized map_batches; DuckDB's nfc_normalize +
+    regexp_replace mirror it byte-exactly (ops/normalize.py)."""
+    from .ops.normalize import normalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(_plant_unicode_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        normalize_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
     """PII scrub — the C4/Gopher-style mask pass a web corpus gets
     before tokenization: emails -> <EMAIL>, IPv4 -> <IP>, phones ->
@@ -1957,6 +1986,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "bm25_search": q_bm25_search,
     "pack_sequences": q_pack_sequences,
+    "normalize_text": q_normalize_text,
 }
 
 ORACLE_SQL = {
@@ -2568,6 +2598,28 @@ def _pack_oracle() -> str:
 
 
 ORACLE_SQL["pack_sequences"] = _pack_oracle()
+
+
+# unicode canonicalization: plant the same suffixes via chr(), mirror
+# control-strip + NFC in the engine's order
+def _normalize_oracle() -> str:
+    from .ops.normalize import oracle_normalize_expr
+
+    aug = ("text || CASE WHEN doc_id % 4 = 1 THEN ' nfc' || chr(101) || "
+           "chr(769) ELSE '' END || CASE WHEN doc_id % 5 = 2 THEN ' x' || "
+           "chr(7) || 'y' ELSE '' END")
+    from .ops.normalize import CONTROL_CLASS
+
+    return (
+        f"WITH aug AS (SELECT doc_id, {aug} AS t FROM documents) "
+        f"SELECT doc_id, {oracle_normalize_expr('t')} AS norm_text, "
+        f"CAST(len(regexp_extract_all(t, '{CONTROL_CLASS}')) AS BIGINT) AS n_ctl, "
+        f"CAST(({oracle_normalize_expr('t')} <> t) AS BIGINT) AS changed "
+        "FROM aug"
+    )
+
+
+ORACLE_SQL["normalize_text"] = _normalize_oracle()
 
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores

@@ -64,6 +64,7 @@ CHECKED = [
     "decontaminate",
     "bm25_search",
     "pack_sequences",
+    "normalize_text",
 ]
 
 
