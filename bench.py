@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "domain_lineage",
     "schema_validate",
     "layout_fanout",
+    # round-3 training-data operators
+    "pii_redact",
+    "decontaminate",
+    "bm25_search",
+    "pack_sequences",
+    "normalize_text",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so
