@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "pack_sequences",
     "normalize_text",
+    "dedup_paragraphs",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

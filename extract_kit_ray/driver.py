@@ -1899,6 +1899,42 @@ def _plant_unicode_batch(batch: pa.Table) -> pa.Table:
     return batch.set_column(batch.schema.get_field_index("text"), "text", aug)
 
 
+_PARA_WORDS = 20
+
+
+def _plant_paragraphs_batch(batch: pa.Table) -> pa.Table:
+    """Rewrap each doc into _PARA_WORDS-word paragraphs joined by blank
+    lines (the corpus is flat word streams; paragraph structure must be
+    planted for paragraph-dedup to have units to work on — the oracle
+    rebuilds the same wrap via list slicing)."""
+    texts = []
+    for text in batch["text"].to_pylist():
+        words = (text or "").split()
+        n = max(-(-len(words) // _PARA_WORDS), 1)
+        texts.append("\n\n".join(
+            " ".join(words[i * _PARA_WORDS:(i + 1) * _PARA_WORDS])
+            for i in range(n)))
+    return batch.set_column(batch.schema.get_field_index("text"), "text",
+                            pa.array(texts, pa.string()))
+
+
+def q_dedup_paragraphs(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-wide paragraph dedup (Lee-et-al-style exact substring
+    dedup at paragraph granularity): repeated paragraphs keep only
+    their first occurrence; docs are rebuilt from survivors.  The
+    corpus's organic near-dup docs (one-word edits) share most of
+    their planted paragraphs, so drops are non-trivial.  Two compact-
+    key shuffles; skew-guarded by Ray's partial aggregation
+    (ops/paradedup.py)."""
+    from .ops.paradedup import dedup_paragraphs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    planted = ds.map_batches(_plant_paragraphs_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return dedup_paragraphs(planted)
+
+
 def q_normalize_text(sf_dir: str) -> "ray.data.Dataset":
     """Unicode canonicalization (NFC + control strip) — the pass that
     precedes hashing/dedup so byte-different spellings collapse.  One
@@ -1987,6 +2023,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "pack_sequences": q_pack_sequences,
     "normalize_text": q_normalize_text,
+    "dedup_paragraphs": q_dedup_paragraphs,
 }
 
 ORACLE_SQL = {
@@ -2620,6 +2657,37 @@ def _normalize_oracle() -> str:
 
 
 ORACLE_SQL["normalize_text"] = _normalize_oracle()
+
+
+# paragraph dedup: the oracle rebuilds the planted wrap via list
+# slicing, marks first occurrences with a window min over the same
+# (doc_id << 20 | idx) position key, and reassembles with an ordered
+# string_agg (NULL-skipping, so dropped paragraphs leave no separator)
+def _paradedup_oracle() -> str:
+    from .ops.paradedup import _IDX_BITS
+
+    pk = f"doc_id * {1 << _IDX_BITS} + idx"
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'\\s+'), x -> x <> '') AS ws FROM documents), "
+        "p0 AS (SELECT doc_id, ws, greatest(CAST(ceil(len(ws) / "
+        f"{_PARA_WORDS}.0) AS BIGINT), 1) AS np FROM w), "
+        "para AS (SELECT doc_id, unnest(generate_series(1, np)) AS i, ws "
+        "FROM p0), "
+        "pp AS (SELECT doc_id, i - 1 AS idx, "
+        f"array_to_string(ws[(i-1)*{_PARA_WORDS}+1 : i*{_PARA_WORDS}], ' ') "
+        "AS p FROM para), "
+        f"m AS (SELECT *, min({pk}) OVER (PARTITION BY p) AS mp FROM pp), "
+        f"k AS (SELECT doc_id, idx, p, ({pk} = mp) AS kept FROM m) "
+        "SELECT doc_id, coalesce(string_agg(CASE WHEN kept THEN p END, "
+        "chr(10) || chr(10) ORDER BY idx), '') AS text, "
+        "CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept, "
+        "CAST(count(CASE WHEN NOT kept THEN 1 END) AS BIGINT) AS n_dropped "
+        "FROM k GROUP BY doc_id"
+    )
+
+
+ORACLE_SQL["dedup_paragraphs"] = _paradedup_oracle()
 
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores

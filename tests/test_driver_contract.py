@@ -65,6 +65,7 @@ CHECKED = [
     "bm25_search",
     "pack_sequences",
     "normalize_text",
+    "dedup_paragraphs",
 ]
 
 

@@ -1,0 +1,65 @@
+"""Paragraph-level dedup (ops/paradedup.py): first-occurrence wins,
+doc reassembly, all-dropped docs survive, determinism."""
+
+import pyarrow as pa
+
+from extract_kit_ray.ops.paradedup import dedup_paragraphs, split_paragraphs_batch
+
+
+def _t(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_split_batch():
+    out = split_paragraphs_batch(_t(["a b\n\nc d\n\ne", "solo"]),
+                                 text_col="text", key_col="doc_id")
+    assert out["doc_id"].to_pylist() == [0, 0, 0, 1]
+    assert out["idx"].to_pylist() == [0, 1, 2, 0]
+    assert out["para"].to_pylist() == ["a b", "c d", "e", "solo"]
+    # identical paragraphs hash identically, distinct ones differ
+    h = list(zip(out["h1"].to_pylist(), out["h2"].to_pylist()))
+    assert len(set(h)) == 4
+
+
+def test_first_occurrence_wins(ray_session):
+    import ray.data
+
+    boiler = "accept all cookies to continue"
+    docs = [
+        boiler + "\n\nunique zero",
+        "unique one\n\n" + boiler,       # boiler dropped here
+        boiler,                           # fully boilerplate -> empty
+        "unique two",
+    ]
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(ray.data.from_arrow(_t(docs))).take_all()}
+    assert len(out) == 4                  # no doc lost
+    assert out[0]["text"] == boiler + "\n\nunique zero"
+    assert out[0]["n_dropped"] == 0
+    assert out[1]["text"] == "unique one"
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["text"] == "unique two"
+
+
+def test_within_doc_repeats(ray_session):
+    import ray.data
+
+    out = {r["doc_id"]: r for r in dedup_paragraphs(
+        ray.data.from_arrow(_t(["x\n\nx\n\ny"]))).take_all()}
+    assert out[0]["text"] == "x\n\ny"     # second x dropped within doc
+    assert out[0]["n_kept"] == 2 and out[0]["n_dropped"] == 1
+
+
+def test_deterministic(ray_session):
+    import ray.data
+
+    docs = [f"p{i % 7}\n\nq{i}" for i in range(40)]
+    a = sorted(dedup_paragraphs(ray.data.from_arrow(_t(docs))).take_all(),
+               key=lambda r: r["doc_id"])
+    b = sorted(dedup_paragraphs(ray.data.from_arrow(_t(docs))).take_all(),
+               key=lambda r: r["doc_id"])
+    assert a == b
+    # p0..p6 survive only in docs 0..6
+    assert sum(r["n_dropped"] for r in a) == 40 - 7
