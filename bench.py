@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "normalize_text",
     "dedup_paragraphs",
+    "repetition_signals",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -1918,6 +1918,31 @@ def _plant_paragraphs_batch(batch: pa.Table) -> pa.Table:
                             pa.array(texts, pa.string()))
 
 
+def q_repetition_signals(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition filter signals: duplicated 2/3-gram
+    character fractions + top-2-gram count fraction.  One stateless
+    map_batches; docs with doc_id % 6 == 0 get a planted repeated
+    phrase so high-repetition scores actually occur.  Each ratio is a
+    single int/int IEEE division, so the SQL oracle is bit-exact."""
+    from .ops.textops import repetition_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        did = batch["doc_id"].to_numpy()
+        suf = np.where(did % 6 == 0, " buy now click here" * 8, "")
+        aug = pc.binary_join_element_wise(batch["text"], pa.array(suf), "")
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", aug)
+
+    return ds.map_batches(plant, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_paragraphs(sf_dir: str) -> "ray.data.Dataset":
     """Corpus-wide paragraph dedup (Lee-et-al-style exact substring
     dedup at paragraph granularity): repeated paragraphs keep only
@@ -2024,6 +2049,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "normalize_text": q_normalize_text,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "repetition_signals": q_repetition_signals,
 }
 
 ORACLE_SQL = {
@@ -2688,6 +2714,41 @@ def _paradedup_oracle() -> str:
 
 
 ORACLE_SQL["dedup_paragraphs"] = _paradedup_oracle()
+
+
+# repetition signals: per-doc n-gram multiplicity via unnest + groupby;
+# each output ratio is one int/int division in both engines
+def _repetition_oracle() -> str:
+    def ngram_ctes(n: int, tag: str) -> str:
+        concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+        return (
+            f"g{tag} AS (SELECT doc_id, unnest(list_transform("
+            f"generate_series(1, greatest(len(ws) - {n - 1}, 0)), "
+            f"i -> {concat})) AS g FROM w), "
+            f"c{tag} AS (SELECT doc_id, g, count(*) AS c FROM g{tag} "
+            "GROUP BY 1, 2), "
+            f"a{tag} AS (SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT) "
+            "AS tot, CAST(coalesce(sum(CASE WHEN c > 1 THEN c * length(g) "
+            "END), 0) AS BIGINT) AS dup, CAST(max(c) AS BIGINT) AS mx, "
+            f"CAST(sum(c) AS BIGINT) AS n FROM c{tag} GROUP BY 1)"
+        )
+
+    return (
+        "WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 6 = 0 THEN "
+        "repeat(' buy now click here', 8) ELSE '' END AS t FROM documents), "
+        "w AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\\s+'), "
+        "x -> x <> '') AS ws FROM aug), "
+        + ngram_ctes(2, "2") + ", " + ngram_ctes(3, "3") + " "
+        "SELECT d.doc_id, "
+        "coalesce(CAST(a2.dup AS DOUBLE) / a2.tot, 0.0) AS dup2_frac, "
+        "coalesce(CAST(a3.dup AS DOUBLE) / a3.tot, 0.0) AS dup3_frac, "
+        "coalesce(CAST(a2.mx AS DOUBLE) / a2.n, 0.0) AS top2_frac "
+        "FROM documents d LEFT JOIN a2 USING (doc_id) "
+        "LEFT JOIN a3 USING (doc_id)"
+    )
+
+
+ORACLE_SQL["repetition_signals"] = _repetition_oracle()
 
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores

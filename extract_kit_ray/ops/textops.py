@@ -110,3 +110,45 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.int64())).append_column(
         "text_hash", pa.array(hashes, pa.int64())
     )
+
+
+def repetition_signals(text: str) -> dict:
+    """Gopher-style repetition metrics (Rae et al. A1.1): fraction of
+    characters inside duplicated word n-grams (n=2,3) and the count
+    fraction of the single most frequent 2-gram.  A doc dominated by a
+    repeated phrase scores high and gets filtered before training.
+
+    Ratios are each ONE IEEE division of two exact integers, so the
+    DuckDB oracle reproduces them bit-for-bit."""
+    from collections import Counter
+
+    words = text.split()
+    out = {}
+    for n, name in ((2, "dup2"), (3, "dup3")):
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        if not grams:
+            out[f"{name}_frac"] = 0.0
+            if n == 2:
+                out["top2_frac"] = 0.0
+            continue
+        c = Counter(grams)
+        tot = sum(cnt * len(g) for g, cnt in c.items())
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        out[f"{name}_frac"] = dup / tot if tot else 0.0
+        if n == 2:
+            out["top2_frac"] = max(c.values()) / len(grams)
+    return out
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc repetition signals; same per-token cost class as the
+    token counters (Counter over the word stream, no quadratic work)."""
+    cols: dict[str, list] = {"dup2_frac": [], "dup3_frac": [], "top2_frac": []}
+    for text in batch[text_col].to_pylist():
+        sig = repetition_signals(text or "")
+        for k in cols:
+            cols[k].append(sig[k])
+    out = batch.drop_columns([text_col])
+    for k, v in cols.items():
+        out = out.append_column(k, pa.array(v, pa.float64()))
+    return out

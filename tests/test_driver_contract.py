@@ -66,6 +66,7 @@ CHECKED = [
     "pack_sequences",
     "normalize_text",
     "dedup_paragraphs",
+    "repetition_signals",
 ]
 
 

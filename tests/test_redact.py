@@ -106,3 +106,30 @@ def test_pii_redact_query_contract(ray_session):
     # planted footers actually fire: 2/3 of docs carry one each
     total = sum(g["n_email"].to_pylist())
     assert total == sum(1 for i in range(got.num_rows) if i % 3 != 2)
+
+
+def test_repetition_signals_values():
+    from extract_kit_ray.ops.textops import repetition_signals
+
+    # 'a b a b a b c': 2-grams [ab,ba,ab,ba,bc] + ... hand-check dup2
+    sig = repetition_signals("a b a b a b c")
+    # grams: 'a b'x3 (len3), 'b a'x2 (len3), 'b c'x1 (len3)
+    # tot = 6*3=18, dup = 5*3=15 -> 15/18
+    assert sig["dup2_frac"] == 15 / 18
+    assert sig["top2_frac"] == 3 / 6
+    assert repetition_signals("")["dup2_frac"] == 0.0
+    assert repetition_signals("one two")["dup3_frac"] == 0.0
+
+
+def test_repetition_batch_columns():
+    import pyarrow as pa
+
+    from extract_kit_ray.ops.textops import repetition_batch
+
+    out = repetition_batch(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["spam spam spam spam", "all distinct words"]),
+    }))
+    assert out.column_names == ["doc_id", "dup2_frac", "dup3_frac", "top2_frac"]
+    assert out["dup2_frac"].to_pylist()[0] == 1.0   # every 2-gram repeated
+    assert out["dup2_frac"].to_pylist()[1] == 0.0
