@@ -1918,6 +1918,42 @@ def _plant_paragraphs_batch(batch: pa.Table) -> pa.Table:
                             pa.array(texts, pa.string()))
 
 
+def q_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
+    """URL canonicalization (web-dedup prerequisite): messy URLs —
+    mixed-case scheme/host, default ports, utm_* params, fragments,
+    trailing slashes — planted closed-form from doc_id, canonicalized
+    by the fixed RE2 rewrite sequence in ops/urlnorm.py.  Both engines
+    run the same regex steps, so canon_url matches byte-exactly."""
+    from .ops.urlnorm import canonicalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        s = did.astype("U20")
+        scheme = np.where(did % 2 == 1, "HtTpS", "HtTp")
+        port = np.select([did % 6 == 0, did % 6 == 1], [":80", ":443"], "")
+        slash = np.where(did % 4 == 1, "/", "")
+        q = np.select(
+            [did % 5 == 2, did % 5 == 3, did % 5 == 4],
+            [np.char.add("?utm_source=news&id=", s),
+             np.full_like(s, "?utm_x=1"),
+             np.char.add("?id=", s)], "")
+        frag = np.where(did % 7 == 4, np.char.add("#Sec", s), "")
+        add = np.char.add
+        url = add(add(add(scheme, "://WWW.Site"), (did % 20).astype("U4")),
+                  ".EXample")
+        url = add(add(add(add(add(url, port), "/Path/"), s), slash),
+                  add(q, frag))
+        return batch.append_column("url", pa.array(url.tolist(), pa.string()))
+
+    return ds.map_batches(plant, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        canonicalize_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "canon_url"])
+
+
 def q_repetition_signals(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition filter signals: duplicated 2/3-gram
     character fractions + top-2-gram count fraction.  One stateless
@@ -2050,6 +2086,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "dedup_paragraphs": q_dedup_paragraphs,
     "repetition_signals": q_repetition_signals,
+    "canonical_urls": q_canonical_urls,
 }
 
 ORACLE_SQL = {
@@ -2749,6 +2786,32 @@ def _repetition_oracle() -> str:
 
 
 ORACLE_SQL["repetition_signals"] = _repetition_oracle()
+
+
+# URL canonicalization: rebuild the planted messy URL with the same
+# doc_id arithmetic, then apply the identical RE2 step sequence
+def _urlnorm_oracle() -> str:
+    from .ops.urlnorm import oracle_canonicalize_expr
+
+    plant = (
+        "CASE WHEN doc_id % 2 = 1 THEN 'HtTpS' ELSE 'HtTp' END || "
+        "'://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) || '.EXample' || "
+        "CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 1 "
+        "THEN ':443' ELSE '' END || '/Path/' || doc_id || "
+        "CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 2 THEN '?utm_source=news&id=' || doc_id "
+        "WHEN doc_id % 5 = 3 THEN '?utm_x=1' "
+        "WHEN doc_id % 5 = 4 THEN '?id=' || doc_id ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 4 THEN '#Sec' || doc_id ELSE '' END"
+    )
+    return (
+        f"WITH aug AS (SELECT doc_id, {plant} AS u FROM documents) "
+        f"SELECT doc_id, {oracle_canonicalize_expr('u')} AS canon_url "
+        "FROM aug"
+    )
+
+
+ORACLE_SQL["canonical_urls"] = _urlnorm_oracle()
 
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores

@@ -67,6 +67,7 @@ CHECKED = [
     "normalize_text",
     "dedup_paragraphs",
     "repetition_signals",
+    "canonical_urls",
 ]
 
 
