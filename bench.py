@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "normalize_text",
     "dedup_paragraphs",
     "repetition_signals",
+    "canonical_urls",
+    "curate_corpus",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2026,6 +2026,67 @@ def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
         redact_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_CURATE_MIN_TOKENS = 20
+_CURATE_MAX_DUP2 = 0.2
+# 12 distinct words: passes both filters, so the planted dup cluster
+# reaches the dedup stage intact
+_CURATE_CONST = ("alpha bravo charlie delta echo foxtrot "
+                 "golf hotel india juliet kilo lima")
+
+
+def _plant_curation_batch(batch: pa.Table) -> pa.Table:
+    """Two deterministic plants for the curation chain: doc_id%11==3
+    docs become one shared constant text (an exact-dup cluster for the
+    dedup stage — the corpus has no organic exact dups), and doc_id%6==0
+    docs get the repeated spam phrase (fodder for the repetition
+    filter).  The oracle replays both via CASE/repeat()."""
+    import pyarrow.compute as pc
+
+    did = batch["doc_id"].to_numpy()
+    base = pc.if_else(pa.array(did % 11 == 3), pa.scalar(_CURATE_CONST),
+                      batch["text"])
+    suf = pa.array(np.where(did % 6 == 0, " buy now click here" * 8, ""))
+    aug = pc.binary_join_element_wise(base, suf, "")
+    return batch.set_column(batch.schema.get_field_index("text"), "text", aug)
+
+
+def _curate_keep(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mask = pc.and_(
+        pc.greater_equal(batch["n_tokens_ws"],
+                         pa.scalar(_CURATE_MIN_TOKENS, pa.int64())),
+        pc.less_equal(batch["dup2_frac"], pa.scalar(_CURATE_MAX_DUP2)))
+    return batch.filter(mask)
+
+
+def q_curate_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """The composed curation chain — the pipeline a pre-training corpus
+    actually runs, as ONE streaming Dataset: quality/repetition signals
+    (fused single pass) -> threshold filter -> corpus-wide exact dedup
+    (first occurrence wins) -> next-fit sequence packing into token
+    bins.  Every stage is the already-oracled operator; composing them
+    proves the stages stream into each other without materialization.
+    Scale shape: two narrow map_batches + filter (no shuffle), then
+    dedup's compact-key shuffle, then packing's bucket shuffle —
+    full text never moves after the dedup keep-decision."""
+    from .ops.dedup import exact_dedup
+    from .ops.packing import next_fit_pack
+    from .ops.textops import curate_signals_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+    sig = ds.map_batches(_plant_curation_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        curate_signals_batch, batch_format="pyarrow", zero_copy_batch=True)
+    kept = sig.map_batches(_curate_keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    deduped = exact_dedup(kept)
+    sized = deduped.drop_columns(["text", "dup2_frac"])
+    return next_fit_pack(sized, size_col="n_tokens_ws").select_columns(
+        ["doc_id", "source", "shard", "n_tokens_ws", "bin_id"])
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -2087,6 +2148,7 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "repetition_signals": q_repetition_signals,
     "canonical_urls": q_canonical_urls,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLE_SQL = {
@@ -2880,3 +2942,56 @@ ORACLE_SQL["urgent_customers_semi"] = (
     "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
     "AND o.o_orderpriority = '1-URGENT')"
 )
+
+
+# composed curation chain: the stage oracles fused in one statement —
+# repetition plant + signals (repetition_signals oracle's 2-gram CTEs),
+# threshold filter, exact dedup (QUALIFY min(doc_id) per text), and the
+# pack_sequences recursive CTE over the survivors.  Recursion depth is
+# still bounded by SHARD_DOCS.
+def _curate_oracle() -> str:
+    from .ops.packing import CAPACITY, SHARD_DOCS
+
+    return (
+        "WITH RECURSIVE "
+        "aug AS (SELECT doc_id, source, "
+        f"(CASE WHEN doc_id % 11 = 3 THEN '{_CURATE_CONST}' ELSE text END) || "
+        "CASE WHEN doc_id % 6 = 0 THEN repeat(' buy now click here', 8) "
+        "ELSE '' END AS t FROM documents), "
+        "w AS (SELECT doc_id, source, t, "
+        "list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS ws "
+        "FROM aug), "
+        "g2 AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, greatest(len(ws) - 1, 0)), "
+        "i -> ws[i] || ' ' || ws[i+1])) AS g FROM w), "
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2), "
+        "a2 AS (SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT) AS tot, "
+        "CAST(coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0) "
+        "AS BIGINT) AS dup FROM c2 GROUP BY 1), "
+        "sig AS (SELECT w.doc_id, w.source, w.t, len(ws) AS n_tokens_ws, "
+        "coalesce(CAST(a2.dup AS DOUBLE) / a2.tot, 0.0) AS dup2_frac "
+        "FROM w LEFT JOIN a2 USING (doc_id)), "
+        f"kept AS (SELECT * FROM sig WHERE n_tokens_ws >= {_CURATE_MIN_TOKENS} "
+        f"AND dup2_frac <= {_CURATE_MAX_DUP2}), "
+        "ded AS (SELECT doc_id, source, n_tokens_ws FROM kept "
+        "QUALIFY doc_id = min(doc_id) OVER (PARTITION BY t)), "
+        f"r AS (SELECT doc_id, source, doc_id // {SHARD_DOCS} AS shard, "
+        "n_tokens_ws, row_number() OVER (PARTITION BY source, "
+        f"doc_id // {SHARD_DOCS} ORDER BY doc_id) AS rn FROM ded), "
+        "pack AS ("
+        "SELECT source, shard, doc_id, n_tokens_ws, rn, "
+        "CAST(0 AS BIGINT) AS bin_id, n_tokens_ws AS fill "
+        "FROM r WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT r.source, r.shard, r.doc_id, r.n_tokens_ws, r.rn, "
+        f"CASE WHEN p.fill + r.n_tokens_ws <= {CAPACITY} THEN p.bin_id "
+        "ELSE p.bin_id + 1 END, "
+        f"CASE WHEN p.fill + r.n_tokens_ws <= {CAPACITY} "
+        "THEN p.fill + r.n_tokens_ws ELSE r.n_tokens_ws END "
+        "FROM pack p JOIN r ON r.source = p.source AND r.shard = p.shard "
+        "AND r.rn = p.rn + 1) "
+        "SELECT doc_id, source, shard, n_tokens_ws, bin_id FROM pack"
+    )
+
+
+ORACLE_SQL["curate_corpus"] = _curate_oracle()

@@ -152,3 +152,18 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     for k, v in cols.items():
         out = out.append_column(k, pa.array(v, pa.float64()))
     return out
+
+
+def curate_signals_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Fused filter-signal pass for the curation pipeline: whitespace
+    token count + duplicated-2-gram char fraction in ONE pass over the
+    text (the scale answer: one decode of the column, not one per
+    signal).  Text is KEPT — downstream exact-dedup still needs it."""
+    nts, d2s = [], []
+    for text in batch[text_col].to_pylist():
+        text = text or ""
+        nts.append(count_tokens_whitespace(text))
+        d2s.append(repetition_signals(text)["dup2_frac"])
+    return batch.append_column(
+        "n_tokens_ws", pa.array(nts, pa.int64())).append_column(
+        "dup2_frac", pa.array(d2s, pa.float64()))

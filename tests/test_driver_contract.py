@@ -68,6 +68,7 @@ CHECKED = [
     "dedup_paragraphs",
     "repetition_signals",
     "canonical_urls",
+    "curate_corpus",
 ]
 
 
