@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "repetition_signals",
     "canonical_urls",
     "curate_corpus",
+    "latest_event_per_user",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2087,6 +2087,40 @@ def q_curate_corpus(sf_dir: str) -> "ray.data.Dataset":
         ["doc_id", "source", "shard", "n_tokens_ws", "bin_id"])
 
 
+_LATEST_BUCKETS = 32
+
+
+def _keep_latest_events(df: pd.DataFrame) -> pd.DataFrame:
+    """Newest (ts, event_id) row per user — stable sort then keep-last,
+    so the tie-break is deterministic and matches the oracle's
+    ORDER BY ts DESC, event_id DESC."""
+    g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    return g.drop_duplicates("user_id", keep="last")
+
+
+def q_latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Keep-latest-per-key (the WARC re-crawl dedup shape: newest
+    capture per url wins), as group-wise argmax.  Scale shape: a
+    map-side combine FIRST — each batch reduces to at most one row per
+    distinct user in it — so the bucket shuffle moves <= n_batches x
+    users-per-batch rows, not the raw table; then one hash-bucket
+    groupby with a vectorized keep-latest per bucket.  No global sort."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    partial = ds.map_batches(_keep_latest_events, batch_format="pandas")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch["user_id"].to_numpy() % _LATEST_BUCKETS
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    return (partial.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(_keep_latest_events, batch_format="pandas")
+            .drop_columns(["bucket"]))
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -2149,6 +2183,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "canonical_urls": q_canonical_urls,
     "curate_corpus": q_curate_corpus,
+    "latest_event_per_user": q_latest_event_per_user,
 }
 
 ORACLE_SQL = {
@@ -2995,3 +3030,12 @@ def _curate_oracle() -> str:
 
 
 ORACLE_SQL["curate_corpus"] = _curate_oracle()
+
+
+# group-wise argmax: one window, deterministic tie-break mirrors the
+# engine's stable-sort keep-last
+ORACLE_SQL["latest_event_per_user"] = (
+    "SELECT event_id, ts, user_id, event_type, value FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) = 1"
+)

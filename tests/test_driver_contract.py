@@ -69,6 +69,7 @@ CHECKED = [
     "repetition_signals",
     "canonical_urls",
     "curate_corpus",
+    "latest_event_per_user",
 ]
 
 
