@@ -36,7 +36,7 @@ REWRITE_STEPS: list[tuple[str, str]] = [
     (r"^(http://[^/?#]*):80(/|\?|#|$)", r"\1\2"),    # default port http
     (r"^(https://[^/?#]*):443(/|\?|#|$)", r"\1\2"),  # default port https
     (r"[?&]utm_[^&#]*", ""),                          # utm_* params
-    (r"^([^?]*)&", r"\1?"),                           # first & -> ? repair
+    (r"^([^?&]*)&", r"\1?"),                          # first & -> ? repair
     (r"[?&]$", ""),                                   # dangling separator
     (r"/$", ""),                                      # trailing slash
 ]

@@ -31,6 +31,15 @@ def test_fragment_and_utm():
     assert _c(["http://h.ex/#just-frag"]) == ["http://h.ex"]
 
 
+def test_separator_repair_first_ampersand():
+    # Regression: after utm removal consumes the '?', the FIRST '&' must
+    # become '?' so equivalent URLs converge on one canonical form.
+    assert _c(["http://h/a?utm_source=x&b=1&c=2"]) == ["http://h/a?b=1&c=2"]
+    assert _c(["http://h/a?b=1&c=2"]) == ["http://h/a?b=1&c=2"]
+    # both spellings of the same page → identical canonical key
+    assert _c(["http://h/a?utm_source=x&b=1&c=2"]) == _c(["http://h/a?b=1&c=2"])
+
+
 def test_no_scheme_passthrough():
     assert _c(["not a url", ""]) == ["not a url", ""]
 
