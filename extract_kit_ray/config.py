@@ -143,6 +143,34 @@ def broadcast_max_rows(env=None) -> int:
     return val
 
 
+def lsh_bucket_cap(env=None) -> int:
+    """Per-(band, hash) bucket member cap for LSH / SimHash candidate
+    expansion (``ops/dedup._expand_member_pairs``).  A degenerate bucket
+    — a crawl slice of identical cookie-banner boilerplate hashing 10^6
+    keys into one band bucket — would otherwise expand to 10^12 pairs in
+    a single task.  Above the cap, expansion switches to a hash-sampled
+    core + star edges (O(cap^2 + n) output, connectivity preserved,
+    ``overflow`` audit column set).
+
+    Default 512 (core expansion <= ~131k pairs/bucket); override with
+    ``EKRAY_LSH_BUCKET_CAP``; 0 disables the cap."""
+    import os
+
+    env = os.environ if env is None else env
+    raw = env.get("EKRAY_LSH_BUCKET_CAP")
+    if raw is None:
+        return 512
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"EKRAY_LSH_BUCKET_CAP must be an integer, got {raw!r}"
+        ) from None
+    if val < 0:
+        raise ValueError(f"EKRAY_LSH_BUCKET_CAP must be >= 0, got {val}")
+    return val
+
+
 def validate_pdf_payload(payload: bytes, filename: str = "") -> tuple[bool, str | None]:
     """The upload gate (validation.ts:52-64): must look like a PDF (magic
     or .pdf name) and stay under 50 MB."""

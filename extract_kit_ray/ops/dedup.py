@@ -321,33 +321,83 @@ def _collect_agg(col: str, *, alias: str = "members"):
     )
 
 
-def _expand_member_pairs(batch: pa.Table, *, members_col: str = "members") -> pa.Table:
+def _sample_members(ids: list[int], cap: int, salt: int) -> list[int]:
+    """Deterministic hash-order sample of ``cap`` members.  The order key
+    is ``mix64(key XOR bucket_salt)`` so (a) the sample is independent of
+    input row order, (b) different buckets sample *different* subsets
+    (the salt is the bucket's band hash), and (c) reruns are identical."""
+    arr = np.array(ids, dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        order = np.argsort(mix64(arr ^ np.uint64(salt & 0xFFFFFFFFFFFFFFFF)),
+                           kind="stable")
+    return sorted(int(ids[i]) for i in order[:cap])
+
+
+def _expand_member_pairs(batch: pa.Table, *, members_col: str = "members",
+                         max_members: int | None = None,
+                         salt_col: str = "band_hash") -> pa.Table:
     """Bucket rows (.., members: list<key>) -> unique sorted (key_a <
-    key_b) pairs, deduped batch-locally.  Giant buckets (degenerate band
-    hashes — e.g. a corpus slice of identical boilerplate) expand
-    quadratically here exactly as they would in any LSH implementation;
-    the skew remedy at corpus scale is upstream (shingle salting or
-    per-bucket sampling), not silent truncation."""
+    key_b) pairs, deduped batch-locally.
+
+    Giant buckets (degenerate band hashes — e.g. a corpus slice of
+    identical cookie-banner boilerplate) would expand quadratically:
+    10^6 members in one bucket is 10^12 pairs in one task.  Above
+    ``max_members`` the bucket is CAPPED, not exploded: full pair
+    expansion runs over a deterministic hash-sampled core of
+    ``max_members`` members, and every unsampled member gets ONE star
+    edge to the core's min member.  Output is O(cap^2 + n) per bucket;
+    bucket connectivity survives in full (every member keeps a candidate
+    edge into the core, so the all-identical-boilerplate cluster still
+    comes out as one component after verification), and capped pairs
+    carry ``overflow=True`` so the cap is auditable, never silent.
+    What IS lost under overflow: core-external near-dup pairs whose
+    star edge fails exact verification while some dropped in-bucket
+    pair would have passed — which is why exact dedup runs UPSTREAM of
+    LSH in composed pipelines (see ``driver.q_curate_corpus``): with
+    true duplicates already removed, buckets this degenerate are
+    near-dup mega-clusters where the star-to-core approximation is the
+    standard trade."""
     out_a: list[int] = []
     out_b: list[int] = []
-    for members in batch[members_col].to_pylist():
+    out_o: list[bool] = []
+    salts = (batch[salt_col].to_pylist()
+             if salt_col in batch.column_names else [0] * batch.num_rows)
+    for members, salt in zip(batch[members_col].to_pylist(), salts):
         ids = sorted(set(members))
         if len(ids) < 2:
             continue
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        overflow = max_members is not None and len(ids) > max_members
+        core = _sample_members(ids, max_members, int(salt)) if overflow else ids
+        for i in range(len(core) - 1):
+            for j in range(i + 1, len(core)):
+                out_a.append(core[i])
+                out_b.append(core[j])
+                out_o.append(overflow)
+        if overflow:
+            hub = core[0]
+            core_set = set(core)
+            for k in ids:
+                if k not in core_set:
+                    lo, hi = (hub, k) if hub < k else (k, hub)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_o.append(True)
     if not out_a:
         return pa.table({"key_a": pa.array([], pa.int64()),
-                         "key_b": pa.array([], pa.int64())})
-    df = pd.DataFrame({"key_a": out_a, "key_b": out_b}).drop_duplicates()
+                         "key_b": pa.array([], pa.int64()),
+                         "overflow": pa.array([], pa.bool_())})
+    df = pd.DataFrame({"key_a": out_a, "key_b": out_b, "overflow": out_o})
+    # batch-local dedupe; a pair seen both capped and uncapped keeps the
+    # uncapped (overflow=False) row
+    df = df.sort_values("overflow", kind="stable").drop_duplicates(
+        ["key_a", "key_b"], keep="first")
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def minhash_lsh_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
                            n_perm: int = 64, n_bands: int = 16, concurrency=4,
-                           num_cpus: float = 0.5):
+                           num_cpus: float = 0.5,
+                           max_bucket_members: int | None = None):
     """pages/documents Dataset -> (candidate-pair Dataset, signature
     Dataset).
 
@@ -357,7 +407,18 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id
     find hot buckets, broadcast into a filter, then a map_groups pair
     expansion; the list-collect aggregate subsumes all three stages and
     halves the fixed all-to-all cost, which dominates wall time until
-    block counts are large.)"""
+    block counts are large.)
+
+    ``max_bucket_members`` (default :func:`config.lsh_bucket_cap`,
+    ``EKRAY_LSH_BUCKET_CAP``; 0 disables) bounds per-bucket pair
+    expansion — see :func:`_expand_member_pairs` for the core+star
+    overflow scheme.  Pair rows carry an ``overflow`` bool column."""
+    from ..config import lsh_bucket_cap
+
+    if max_bucket_members is None:
+        max_bucket_members = lsh_bucket_cap()
+    cap = max_bucket_members if max_bucket_members > 0 else None
+
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"text_col": text_col, "n_perm": n_perm},
@@ -377,14 +438,16 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id
         _collect_agg(key_col)
     )
     pairs = buckets.map_batches(
-        _expand_member_pairs, batch_format="pyarrow", zero_copy_batch=True,
+        _expand_member_pairs, fn_kwargs={"max_members": cap},
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     return pairs, sigs
 
 
 def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
                       n_perm: int = 64, n_bands: int = 16, threshold: float = 0.8,
-                      concurrency=4) -> pd.DataFrame:
+                      concurrency=4,
+                      max_bucket_members: int | None = None) -> pd.DataFrame:
     """Full near-dup pipeline. Returns a pandas frame
     (key, cluster_rep, is_dup) for ALL input keys — materialized because
     cluster assignments are the (small) result, not the corpus.
@@ -407,8 +470,10 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     pairs_ds, sigs_ds = minhash_lsh_candidates(
         ds, text_col=text_col, key_col=key_col, n_perm=n_perm,
         n_bands=n_bands, concurrency=concurrency,
+        max_bucket_members=max_bucket_members,
     )
-    pairs = pairs_ds.to_pandas().drop_duplicates()
+    pairs = (pairs_ds.select_columns(["key_a", "key_b"]).to_pandas()
+             .drop_duplicates())
     # the result table needs one row per key, but only the NARROW key
     # column ever leaves the cluster — signatures and texts are fetched
     # below for candidate-pair endpoints only (round-2 collected the
@@ -486,6 +551,7 @@ def minhash_lsh_dedup_distributed(
     ds, *, text_col: str = "text", key_col: str = "doc_id",
     n_perm: int = 64, n_bands: int = 16, threshold: float = 0.8,
     concurrency=4, num_partitions: int = 8, broadcast_max: int | None = None,
+    max_bucket_members: int | None = None,
 ) -> pd.DataFrame:
     """Corpus-scale variant of :func:`minhash_lsh_dedup`: candidate
     verification happens distributed-side (no driver-side text or
@@ -511,12 +577,14 @@ def minhash_lsh_dedup_distributed(
     pairs_ds, sigs_ds = minhash_lsh_candidates(
         ds, text_col=text_col, key_col=key_col, n_perm=n_perm,
         n_bands=n_bands, concurrency=concurrency,
+        max_bucket_members=max_bucket_members,
     )
     # pairs are deduped batch-locally in the expansion; cross-batch dups
     # (the same pair surfacing from different bands) are harmless for
     # both verification and propagation (idempotent), so no global
-    # dedupe shuffle is spent on them
-    pairs_ds = pairs_ds.materialize()
+    # dedupe shuffle is spent on them.  The overflow audit column is
+    # dropped here so the verification joins move only 16-byte pairs.
+    pairs_ds = pairs_ds.select_columns(["key_a", "key_b"]).materialize()
     n_pairs = pairs_ds.count()
 
     text_src = ds
@@ -598,16 +666,28 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def simhash_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
-                       max_hamming: int = 3):
+                       max_hamming: int = 3,
+                       max_bucket_members: int | None = None):
     """SimHash near-dup candidates: band the 64-bit signature into
     ``max_hamming + 1`` contiguous bit ranges — by pigeonhole, any pair
     within Hamming<=max_hamming differs in at most max_hamming bands, so
     at least one band matches exactly.  Band count is DERIVED from
     max_hamming (a fixed 4-band split silently under-recalls for
     max_hamming >= 4 — round-1 advisor finding); max_hamming must stay
-    below 64 bands of >= 1 bit."""
+    below 64 bands of >= 1 bit.
+
+    ``max_bucket_members`` (default :func:`config.lsh_bucket_cap`;
+    0 disables) bounds per-bucket pair expansion with the same
+    core+star overflow scheme as :func:`_expand_member_pairs`: full
+    Hamming-checked expansion over a hash-sampled core, one star edge
+    per unsampled member to the core hub, ``overflow`` audit column."""
+    from ..config import lsh_bucket_cap
+
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    if max_bucket_members is None:
+        max_bucket_members = lsh_bucket_cap()
+    cap = max_bucket_members if max_bucket_members > 0 else None
     n_bands = max_hamming + 1
     # contiguous bit ranges covering all 64 bits (first bands get the
     # extra bits when 64 % n_bands != 0)
@@ -664,19 +744,42 @@ def simhash_candidates(ds, *, text_col: str = "text", key_col: str = "doc_id",
     buckets = bands.groupby(["band_id", "band_key"]).aggregate(collect_members)
 
     def expand_pairs(batch: pa.Table) -> pa.Table:
-        a, b, d = [], [], []
-        for members in batch["members"].to_pylist():
+        a, b, d, o = [], [], [], []
+        salts = batch["band_key"].to_pylist()
+
+        def emit(ra, rb, overflow):
+            ham = bin((ra[1] ^ rb[1]) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                lo, hi = (ra, rb) if ra[0] < rb[0] else (rb, ra)
+                a.append(lo[0])
+                b.append(hi[0])
+                d.append(ham)
+                o.append(overflow)
+
+        for members, salt in zip(batch["members"].to_pylist(), salts):
             rows = sorted({(int(k), int(s)) for k, s in members})
-            for i in range(len(rows) - 1):
-                for j in range(i + 1, len(rows)):
-                    ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                    if ham <= max_hamming:
-                        a.append(rows[i][0])
-                        b.append(rows[j][0])
-                        d.append(ham)
+            if len(rows) < 2:
+                continue
+            overflow = cap is not None and len(rows) > cap
+            if overflow:
+                keys = [r[0] for r in rows]
+                core_keys = set(_sample_members(keys, cap, int(salt)))
+                core = [r for r in rows if r[0] in core_keys]
+                hub = core[0]
+                for r in rows:
+                    if r[0] not in core_keys:
+                        emit(hub, r, True)
+            else:
+                core = rows
+            for i in range(len(core) - 1):
+                for j in range(i + 1, len(core)):
+                    emit(core[i], core[j], overflow)
         df = pd.DataFrame({"key_a": pd.array(a, dtype="int64"),
                            "key_b": pd.array(b, dtype="int64"),
-                           "hamming": pd.array(d, dtype="int64")}).drop_duplicates()
+                           "hamming": pd.array(d, dtype="int64"),
+                           "overflow": pd.array(o, dtype="bool")})
+        df = df.sort_values("overflow", kind="stable").drop_duplicates(
+            ["key_a", "key_b", "hamming"], keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return buckets.map_batches(expand_pairs, batch_format="pyarrow",

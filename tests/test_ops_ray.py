@@ -567,3 +567,86 @@ def test_sample_fraction_deterministic(ray_session):
                                                     fraction=0.3).take_all())
     assert a == b
     assert 0.2 < len(a) / 2000 < 0.4  # Bernoulli-style rate
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket cap (LSH / SimHash overflow handling)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_hot_bucket_capped(ray_session):
+    """10k-identical-docs regime at test scale: 2000 identical docs put
+    every key in ONE bucket per band.  With the cap, pair output must be
+    O(cap^2 + n) per band — not n^2/2 — every key must keep a candidate
+    edge (star edges), and capped pairs must be flagged overflow=True."""
+    import ray.data
+
+    from extract_kit_ray.ops.dedup import minhash_lsh_candidates
+
+    n, cap, n_bands = 2000, 16, 4
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "text": ["identical cookie banner boilerplate accepted on every "
+                  "page of the crawl slice today"] * n}))
+    pairs_ds, _ = minhash_lsh_candidates(
+        ds, n_bands=n_bands, max_bucket_members=cap)
+    pairs = pairs_ds.to_pandas()
+    bound = n_bands * (cap * (cap - 1) // 2 + (n - cap))
+    assert 0 < len(pairs) <= bound          # quadratic would be ~2.0M
+    assert pairs["overflow"].all()
+    covered = set(pairs["key_a"]) | set(pairs["key_b"])
+    assert covered == set(range(n))         # star edges keep every member
+
+
+def test_lsh_capped_cluster_connectivity(ray_session):
+    """Capped expansion must still produce ONE cluster for an
+    all-identical corpus: star edges to the core hub verify (identical
+    text -> Jaccard 1.0) and union-find closes the component."""
+    import ray.data
+
+    from extract_kit_ray.ops.dedup import minhash_lsh_dedup
+
+    n = 500
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "text": ["the same boilerplate body repeated across the whole "
+                  "slice of pages"] * n}))
+    out = minhash_lsh_dedup(ds, threshold=0.8, max_bucket_members=8)
+    assert (out["cluster_rep"] == 0).all()
+    assert out["is_dup"].sum() == n - 1
+
+
+def test_simhash_hot_bucket_capped(ray_session):
+    import ray.data
+
+    from extract_kit_ray.ops.dedup import simhash_candidates
+
+    n, cap = 1000, 16
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "text": ["same accept cookies banner text on every single page "
+                  "in the bucket"] * n}))
+    pairs = simhash_candidates(ds, max_hamming=3,
+                               max_bucket_members=cap).to_pandas()
+    n_bands = 4
+    bound = n_bands * (cap * (cap - 1) // 2 + (n - cap))
+    assert 0 < len(pairs) <= bound
+    assert pairs["overflow"].all()
+    assert (pairs["hamming"] == 0).all()    # identical docs
+    covered = set(pairs["key_a"]) | set(pairs["key_b"])
+    assert covered == set(range(n))
+
+
+def test_lsh_cap_noop_below_threshold(dup_docs):
+    """A cap far above bucket sizes must not change candidate output,
+    and normal pairs must carry overflow=False."""
+    from extract_kit_ray.ops.dedup import minhash_lsh_candidates
+
+    a, _ = minhash_lsh_candidates(dup_docs, max_bucket_members=0)  # disabled
+    b, _ = minhash_lsh_candidates(dup_docs, max_bucket_members=10_000)
+    pa_df = a.to_pandas()
+    pb_df = b.to_pandas()
+    key = ["key_a", "key_b"]
+    assert sorted(map(tuple, pa_df[key].values.tolist())) == \
+        sorted(map(tuple, pb_df[key].values.tolist()))
+    assert not pb_df["overflow"].any()

@@ -2,7 +2,7 @@
 ``queries()[name](sf_dir)`` and compare row-count + sorted-column
 value-hash against ``oracle_sql()[name]`` via DuckDB.
 
-Usage: python tools/check_contract.py [sf_dir]
+Usage: python tools/check_contract.py [sf_dir] [--only name1,name2]
 Owns its Ray session (the real driver owns its own).
 """
 
@@ -49,7 +49,7 @@ def value_hash(tbl) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import warnings
 
     warnings.filterwarnings("ignore")
@@ -75,6 +75,8 @@ def main(sf_dir: str) -> int:
 
     failures = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             got = to_arrow(fn(sf_dir))
@@ -101,13 +103,20 @@ def main(sf_dir: str) -> int:
               f"hash {gh}/{wh} ({dt:.1f}s)")
 
     # entry() smoke
-    res = e.entry()
-    tbl = to_arrow(res)
-    print(f"entry(): {tbl.num_rows} rows, schema {tbl.schema.names}")
+    if only is None:
+        res = e.entry()
+        tbl = to_arrow(res)
+        print(f"entry(): {tbl.num_rows} rows, schema {tbl.schema.names}")
     ray.shutdown()
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0] if args else "/root/testdata/sf0.01", only))
