@@ -45,6 +45,57 @@ def add_text_hash(batch: pa.Table, text_col: str = "text", out_col: str = "text_
     return batch.append_column(out_col + "2", pa.array([p[1] for p in pairs], pa.int64()))
 
 
+def _combine128(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Mix two int64 hash columns into one uint64 sort/search key."""
+    with np.errstate(over="ignore"):
+        return mix64(h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                     + h2.astype(np.uint64))
+
+
+class _DupLookup:
+    """Vectorized broadcast (h1, h2) -> min_key lookup for the exact-dedup
+    keep filter.  Build once driver-side (sorted combined-key arrays, a
+    few numpy vectors — cheap to ``ray.put``); per batch the lookup is
+    ONE ``np.searchsorted`` plus three gathers, no per-row Python.
+
+    Exactness: the combined key is 64-bit, so distinct dup keys CAN
+    collide.  Collisions inside the dup set are detected at build time
+    (adjacent equal sorted keys) and resolved through a tiny sidecar
+    dict; a batch row whose combined key matches but whose (h1, h2)
+    differs is a benign non-member and keeps mask=True."""
+
+    def __init__(self, h1: np.ndarray, h2: np.ndarray, min_key: np.ndarray):
+        c = _combine128(h1, h2)
+        order = np.argsort(c, kind="stable")
+        self.c = c[order]
+        self.h1 = h1[order]
+        self.h2 = h2[order]
+        self.min_key = min_key[order]
+        self.collisions: dict[int, list[tuple[int, int, int]]] = {}
+        for i in np.flatnonzero(self.c[1:] == self.c[:-1]):
+            for j in (i, i + 1):
+                self.collisions.setdefault(int(self.c[j]), []).append(
+                    (int(self.h1[j]), int(self.h2[j]), int(self.min_key[j])))
+
+    def keep_mask(self, h1: np.ndarray, h2: np.ndarray,
+                  keys: np.ndarray) -> np.ndarray:
+        """True where the row survives: not in a dup cluster, or IS the
+        cluster's min-key row."""
+        bc = _combine128(h1, h2)
+        pi = np.minimum(np.searchsorted(self.c, bc), len(self.c) - 1)
+        cand = self.c[pi] == bc
+        hit = cand & (self.h1[pi] == h1) & (self.h2[pi] == h2)
+        mask = np.ones(len(h1), dtype=bool)
+        mask[hit] = self.min_key[pi[hit]] == keys[hit]
+        if self.collisions:
+            for i in np.flatnonzero(cand & ~hit):
+                for ch1, ch2, cmin in self.collisions.get(int(bc[i]), ()):
+                    if ch1 == h1[i] and ch2 == h2[i]:
+                        mask[i] = cmin == keys[i]
+                        break
+        return mask
+
+
 def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
                 broadcast_max: int | None = None, num_partitions: int = 8):
     """Keep the min-key row per distinct text (first-wins, deterministic).
@@ -86,19 +137,19 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
         return hashed.drop_columns(["text_hash", "text_hash2"])
 
     if n_dup_groups <= broadcast_max:
+        # Vectorized keep-decision: no per-row dict lookups in the hot
+        # path — one np.searchsorted + gathers per batch (see _DupLookup).
         dup_rows = dup_groups.to_pandas()
-        min_by_hash = dict(
-            zip(zip(dup_rows["text_hash"], dup_rows["text_hash2"]), dup_rows["min_key"])
-        )
+        lut = _DupLookup(dup_rows["text_hash"].to_numpy(),
+                         dup_rows["text_hash2"].to_numpy(),
+                         dup_rows["min_key"].to_numpy())
 
         def keep(batch: pa.Table) -> pa.Table:
-            h1 = batch["text_hash"].to_pylist()
-            h2 = batch["text_hash2"].to_pylist()
-            keys = batch[key_col].to_pylist()
-            mask = pa.array(
-                [min_by_hash.get((a, b), k) == k for a, b, k in zip(h1, h2, keys)]
-            )
-            return batch.filter(mask).drop_columns(["text_hash", "text_hash2"])
+            mask = lut.keep_mask(batch["text_hash"].to_numpy(),
+                                 batch["text_hash2"].to_numpy(),
+                                 batch[key_col].to_numpy())
+            return batch.filter(pa.array(mask)).drop_columns(
+                ["text_hash", "text_hash2"])
 
         return hashed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -5,10 +5,22 @@ together; stray C0 controls from broken encodings must not survive
 into training text).
 
 Order is part of the contract: controls are stripped FIRST (RE2 class,
-vectorized in pyarrow), then NFC composition (per-string C call via
-``unicodedata`` — the only non-Arrow step, same cost class as any
-tokenizer).  DuckDB mirrors both: ``regexp_replace`` (same RE2 class)
-nested inside ``nfc_normalize``, so the oracle is byte-exact.
+vectorized in pyarrow), then NFC composition.  DuckDB mirrors both:
+``regexp_replace`` (same RE2 class) nested inside ``nfc_normalize``,
+so the oracle is byte-exact.
+
+NFC is NOT ``pc.utf8_normalize``: the pinned pyarrow (16.1.0) maps
+``form="NFC"``/``"NFKC"`` to the DECOMPOSED forms (its output equals
+``unicodedata.normalize("NFD"/"NFKD", ...)`` — verified by the canary
+test in tests/test_normalize.py, which flips when a fixed pyarrow
+lands).  Instead the stage keeps the pass vectorized where it can:
+``pc.string_is_ascii`` masks out pure-ASCII strings (ASCII is NFC by
+construction — no codepoint above U+007F means no combining marks and
+no composition candidates), only the non-ASCII minority is normalized
+per-string (with ``unicodedata.is_normalized`` short-circuiting the
+already-NFC common case), and results scatter back with
+``pc.replace_with_mask``.  On mostly-ASCII web text the Python loop
+touches a few percent of rows.
 
 Scale shape: stateless ``map_batches``, no shuffle, text column only.
 """
@@ -31,11 +43,23 @@ def normalize_batch(batch: pa.Table, *, text_col: str = "text",
     col = batch[text_col]
     n_ctl = pc.cast(pc.count_substring_regex(col, CONTROL_CLASS), pa.int64())
     stripped = pc.replace_substring_regex(col, CONTROL_CLASS, "")
-    normed = pa.array(
-        [unicodedata.normalize("NFC", s) if s is not None else None
-         for s in stripped.to_pylist()],
-        pa.string(),
-    )
+    if isinstance(stripped, pa.ChunkedArray):
+        stripped = stripped.combine_chunks()
+    # ASCII rows are NFC already; normalize only the non-ASCII minority
+    non_ascii = pc.fill_null(
+        pc.and_kleene(pc.invert(pc.string_is_ascii(stripped)),
+                      pc.is_valid(stripped)), False)
+    if pc.any(non_ascii).as_py():
+        sub = stripped.filter(non_ascii)
+        fixed = pa.array(
+            [s if unicodedata.is_normalized("NFC", s)
+             else unicodedata.normalize("NFC", s)
+             for s in sub.to_pylist()],
+            pa.string(),
+        )
+        normed = pc.replace_with_mask(stripped, non_ascii, fixed)
+    else:
+        normed = stripped
     changed = pc.cast(pc.invert(pc.equal(normed, col)), pa.int64())
     out = batch.drop_columns([text_col])
     out = out.append_column(out_col, normed)

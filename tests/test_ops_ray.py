@@ -650,3 +650,55 @@ def test_lsh_cap_noop_below_threshold(dup_docs):
     assert sorted(map(tuple, pa_df[key].values.tolist())) == \
         sorted(map(tuple, pb_df[key].values.tolist()))
     assert not pb_df["overflow"].any()
+
+
+def test_dup_lookup_differential():
+    """_DupLookup.keep_mask must equal the per-row dict reference on
+    random 128-bit hash columns."""
+    from extract_kit_ray.ops.dedup import _DupLookup
+
+    rng = np.random.default_rng(7)
+    n, m = 50_000, 5_000
+    h1 = rng.integers(-2**62, 2**62, n)
+    h2 = rng.integers(-2**62, 2**62, n)
+    keys = np.arange(n, dtype=np.int64)
+    idx = rng.choice(n, m, replace=False)
+    lut = _DupLookup(h1[idx], h2[idx], keys[idx])
+    got = lut.keep_mask(h1, h2, keys)
+    ref_map = dict(zip(zip(h1[idx], h2[idx]), keys[idx]))
+    ref = np.array([ref_map.get((a, b), k) == k
+                    for a, b, k in zip(h1, h2, keys)])
+    assert (got == ref).all()
+
+
+def test_dup_lookup_collision_sidecar():
+    """Two distinct dup keys sharing a combined 64-bit key must both
+    resolve correctly through the collision sidecar."""
+    from extract_kit_ray.ops.dedup import _DupLookup
+
+    h1 = np.array([10, 20, 30], dtype=np.int64)
+    h2 = np.array([1, 2, 3], dtype=np.int64)
+    mins = np.array([100, 200, 300], dtype=np.int64)
+    lut = _DupLookup(h1, h2, mins)
+    # forge a collision state: keys 0 and 1 share a combined value
+    lut.c = np.array([5, 5, 9], dtype=np.uint64)
+    lut.h1 = h1
+    lut.h2 = h2
+    lut.min_key = mins
+    lut.collisions = {5: [(10, 1, 100), (20, 2, 200)]}
+    import extract_kit_ray.ops.dedup as dd
+
+    orig = dd._combine128
+    try:
+        dd._combine128 = lambda a, b: np.where(
+            a == 30, np.uint64(9), np.uint64(5)).astype(np.uint64)
+        bh1 = np.array([10, 20, 20, 30, 77], dtype=np.int64)
+        bh2 = np.array([1, 2, 2, 3, 77], dtype=np.int64)
+        keys = np.array([100, 999, 200, 300, 1], dtype=np.int64)
+        # row0: keeper of cluster (10,1); row1: dup (not min); row2:
+        # keeper; row3: keeper; row4: combined-key collides with dup set
+        # but (h1,h2) differs -> benign non-member, survives
+        got = lut.keep_mask(bh1, bh2, keys)
+        assert got.tolist() == [True, False, True, True, True]
+    finally:
+        dd._combine128 = orig
