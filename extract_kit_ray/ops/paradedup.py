@@ -8,115 +8,181 @@ substring dedup is the practical middle ground (Lee et al., "Deduplicating
 Training Data Makes Language Models Better", does it with suffix
 arrays; hash-per-paragraph is the shuffle-friendly approximation).
 
-Scale shape — two shuffles, both on compact keys:
+Scale shape — TEXT NEVER RIDES A SHUFFLE.  Every wide operation moves
+only fixed-width integers:
 
-1. **split pass** (stateless ``map_batches``): each doc fans out to
-   (doc, idx, h1, h2, text) paragraph rows; the 128-bit content hash
-   makes equality collision-free without a verify pass (same math as
-   exact doc dedup, ``functions/hashing.hash128_signed``).
-2. **first-occurrence shuffle**: ``groupby(h1, h2).min(pos_key)``
-   where ``pos_key = doc_key << 20 | idx`` orders occurrences.
-   Ray's hash aggregate combines partially per block before the
-   exchange, so a boilerplate paragraph repeated 10^9 times ships one
-   partial row per block, not 10^9 rows — the skew guard.
-3. **keep-join + reassembly shuffle**: paragraphs inner-join the
-   (h1, h2, min_pos) table (both sides large → shuffle hash join),
-   keep rows whose pos equals the min, and docs reassemble on a
-   doc-bucket groupby (every doc emits ≥1 paragraph row, so no doc is
-   lost even when all its paragraphs were dropped elsewhere's dups).
+1. **narrow split pass** (stateless ``map_batches``): each doc fans
+   out to (key, idx, h1, h2, pos) rows — 40 bytes per paragraph, NO
+   text.  The 128-bit content hash makes equality collision-free
+   without a verify pass (same math as exact doc dedup,
+   ``functions/hashing.hash128_signed``); ``pos = key << 20 | idx``
+   orders occurrences corpus-wide.
+2. **first-occurrence shuffle**: ``groupby(h1, h2).min(pos)``.  Ray's
+   hash aggregate combines partially per block before the exchange,
+   so a boilerplate paragraph repeated 10^9 times ships one partial
+   row per block, not 10^9 rows — the skew guard.
+3. **drop-list**: paragraphs inner-join the (h1, h2, min_pos) table
+   (both sides narrow → cheap shuffle hash join); rows with
+   ``pos != min_pos`` are the DROPS — bounded by duplicate-paragraph
+   volume, typically a small fraction of the corpus.  Drops aggregate
+   to one (key, drop_idxs: list<int>) row per affected doc.
+4. **reassembly**: docs re-split their own text locally and skip the
+   dropped indexes.  Under :func:`config.broadcast_max_rows` the
+   drop-list is collected once and broadcast into a streaming
+   ``map_batches`` — the text column never moves AT ALL (zero text
+   shuffles, down from two in the round-3 design).  Above it, ONE
+   ``left_outer`` join ships text once — the honest worst case.
 
-Only hashes, positions and paragraph text travel; at 100 TB you would
-drop the text from pass 2's payload and re-join it at reassembly —
-here paragraphs ride along because they are needed for output anyway.
+Recomputing the paragraph split at reassembly costs one extra pass of
+``str.split`` per doc — orders of magnitude cheaper than shipping the
+corpus text through an all-to-all exchange.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash128_signed
 
 _IDX_BITS = 20          # max 2^20 paragraphs per doc
-_N_BUCKETS = 32
 PARA_SEP = "\n\n"
 
 
-def split_paragraphs_batch(batch: pa.Table, *, text_col: str,
+def split_paragraph_hashes(batch: pa.Table, *, text_col: str,
                            key_col: str) -> pa.Table:
-    """Doc rows -> paragraph rows (key, idx, h1, h2, para)."""
-    keys_out, idxs, h1s, h2s, paras = [], [], [], [], []
+    """Doc rows -> NARROW paragraph rows (key, idx, h1, h2, pos) — no
+    text in the fan-out payload."""
+    keys_out, idxs, h1s, h2s = [], [], [], []
     keys = batch[key_col].to_pylist()
     for key, text in zip(keys, batch[text_col].to_pylist()):
-        parts = (text or "").split(PARA_SEP)
-        for i, p in enumerate(parts):
+        for i, p in enumerate((text or "").split(PARA_SEP)):
             h1, h2 = hash128_signed(p)
             keys_out.append(key)
             idxs.append(i)
             h1s.append(h1)
             h2s.append(h2)
-            paras.append(p)
+    keys_np = np.array(keys_out, dtype=np.int64)
+    idx_np = np.array(idxs, dtype=np.int64)
     return pa.table({
-        key_col: pa.array(keys_out, pa.int64()),
-        "idx": pa.array(idxs, pa.int64()),
+        key_col: pa.array(keys_np),
+        "idx": pa.array(idx_np),
         "h1": pa.array(h1s, pa.int64()),
         "h2": pa.array(h2s, pa.int64()),
-        "para": pa.array(paras, pa.string()),
+        "pos": pa.array((keys_np << _IDX_BITS) | idx_np),
     })
 
 
-def dedup_paragraphs(ds, *, text_col: str = "text", key_col: str = "doc_id"):
+def _rebuild_batch(batch: pa.Table, *, text_col: str, key_col: str,
+                   drops_by_key) -> pa.Table:
+    """Re-split each doc locally, skip dropped paragraph indexes,
+    rejoin.  ``drops_by_key`` maps key -> iterable of dropped idx."""
+    keys = batch[key_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_text, n_kept, n_dropped = [], [], []
+    for key, text in zip(keys, texts):
+        parts = (text or "").split(PARA_SEP)
+        drop = drops_by_key.get(key)
+        if not drop:
+            out_text.append(text or "")
+            n_kept.append(len(parts))
+            n_dropped.append(0)
+            continue
+        drop_set = set(drop)
+        kept = [p for i, p in enumerate(parts) if i not in drop_set]
+        out_text.append(PARA_SEP.join(kept))
+        n_kept.append(len(kept))
+        n_dropped.append(len(parts) - len(kept))
+    return pa.table({
+        key_col: pa.array(keys, pa.int64()),
+        "text": pa.array(out_text, pa.string()),
+        "n_kept": pa.array(n_kept, pa.int64()),
+        "n_dropped": pa.array(n_dropped, pa.int64()),
+    })
+
+
+def dedup_paragraphs(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                     broadcast_max: int | None = None,
+                     num_partitions: int = 8):
     """Corpus-wide first-occurrence paragraph dedup.  Returns a Dataset
     of (key, text, n_kept, n_dropped) with ``text`` the doc rebuilt
-    from its surviving paragraphs (PARA_SEP-joined, original order)."""
+    from its surviving paragraphs (PARA_SEP-joined, original order).
+
+    Text never moves through a shuffle: the dedup decision runs on
+    40-byte hash rows, and reassembly re-splits each doc in place (see
+    module docstring).  ``broadcast_max`` guards the drop-list
+    broadcast exactly like exact_dedup's dup-map guard."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    paras = ds.map_batches(
-        split_paragraphs_batch,
+    from ..config import broadcast_max_rows
+    from .dedup import _collect_agg
+
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
+
+    narrow = ds.map_batches(
+        split_paragraph_hashes,
         fn_kwargs={"text_col": text_col, "key_col": key_col},
         batch_format="pyarrow", zero_copy_batch=True,
     )
-
-    def add_pos(batch: pa.Table) -> pa.Table:
-        pos = (batch[key_col].to_numpy() << _IDX_BITS) | batch["idx"].to_numpy()
-        return batch.append_column("pos", pa.array(pos, pa.int64()))
-
-    positioned = paras.map_batches(add_pos, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    firsts = positioned.groupby(["h1", "h2"]).aggregate(
+    firsts = narrow.groupby(["h1", "h2"]).aggregate(
         Min("pos", alias_name="min_pos"))
-    joined = positioned.join(firsts, join_type="inner", num_partitions=8,
-                             on=("h1", "h2"))
+    joined = narrow.join(firsts, join_type="inner",
+                         num_partitions=num_partitions, on=("h1", "h2"))
 
-    def mark(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def to_drops(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.equal(batch["pos"], batch["min_pos"]))
+        kept = batch.filter(mask)
+        return pa.table({key_col: kept[key_col], "idx": kept["idx"]})
 
-        kept = pc.equal(batch["pos"], batch["min_pos"])
-        bucket = batch[key_col].to_numpy() % _N_BUCKETS
+    drop_lists = (
+        joined.map_batches(to_drops, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(_collect_agg("idx", alias="drop_idxs"))
+        .materialize()  # bounded by docs-with-dropped-paragraphs
+    )
+    n_affected = drop_lists.count()
+
+    if n_affected <= broadcast_max:
+        drops_by_key = {
+            int(r[key_col]): r["drop_idxs"] for r in drop_lists.take_all()
+        }
+        return ds.map_batches(
+            _rebuild_batch,
+            fn_kwargs={"text_col": text_col, "key_col": key_col,
+                       "drops_by_key": drops_by_key},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    # join fallback: ship text ONCE through a left_outer join onto the
+    # drop-list (null drop_idxs -> doc unchanged).  Acero joins reject
+    # list-typed payload columns, so the idx list rides as a compact
+    # comma-joined string.
+    def _encode(b: pa.Table) -> pa.Table:
         return pa.table({
-            key_col: batch[key_col],
-            "idx": batch["idx"],
-            "para": batch["para"],
-            "kept": pc.cast(kept, pa.int64()),
-            "bucket": pa.array(bucket, pa.int64()),
+            "drop_key": b[key_col],
+            "drop_idxs": pa.array(
+                [",".join(map(str, d)) for d in b["drop_idxs"].to_pylist()],
+                pa.string()),
         })
 
-    marked = joined.map_batches(mark, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    renamed = drop_lists.map_batches(_encode, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    joined_docs = ds.join(renamed, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=(key_col,), right_on=("drop_key",))
 
-    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values([key_col, "idx"], kind="mergesort")
-        g["pk"] = g["para"].where(g["kept"] == 1)
-        out = (
-            g.groupby(key_col, sort=False)
-            .agg(text=("pk", lambda s: PARA_SEP.join(s.dropna())),
-                 n_kept=("kept", "sum"),
-                 n_total=("kept", "size"))
-            .reset_index()
-        )
-        out["n_dropped"] = (out["n_total"] - out["n_kept"]).astype("int64")
-        out["n_kept"] = out["n_kept"].astype("int64")
-        return out[[key_col, "text", "n_kept", "n_dropped"]]
+    def rebuild_joined(batch: pa.Table) -> pa.Table:
+        by_key = {
+            int(k): [int(x) for x in d.split(",")]
+            for k, d in zip(batch[key_col].to_pylist(),
+                            batch["drop_idxs"].to_pylist())
+            if d
+        }
+        return _rebuild_batch(batch, text_col=text_col, key_col=key_col,
+                              drops_by_key=by_key)
 
-    return marked.groupby("bucket").map_groups(rebuild, batch_format="pandas")
+    return joined_docs.map_batches(rebuild_joined, batch_format="pyarrow",
+                                   zero_copy_batch=True)

@@ -1,9 +1,11 @@
 """Paragraph-level dedup (ops/paradedup.py): first-occurrence wins,
-doc reassembly, all-dropped docs survive, determinism."""
+doc reassembly, all-dropped docs survive, determinism.  The dedup
+decision runs on narrow hash rows; text never rides a shuffle in the
+broadcast path (see module docstring)."""
 
 import pyarrow as pa
 
-from extract_kit_ray.ops.paradedup import dedup_paragraphs, split_paragraphs_batch
+from extract_kit_ray.ops.paradedup import dedup_paragraphs, split_paragraph_hashes
 
 
 def _t(texts):
@@ -11,15 +13,17 @@ def _t(texts):
                      "text": pa.array(texts, pa.string())})
 
 
-def test_split_batch():
-    out = split_paragraphs_batch(_t(["a b\n\nc d\n\ne", "solo"]),
+def test_split_hashes_narrow():
+    out = split_paragraph_hashes(_t(["a b\n\nc d\n\ne", "solo"]),
                                  text_col="text", key_col="doc_id")
+    assert out.column_names == ["doc_id", "idx", "h1", "h2", "pos"]
+    assert "para" not in out.column_names   # the 100 TB point: no text
     assert out["doc_id"].to_pylist() == [0, 0, 0, 1]
     assert out["idx"].to_pylist() == [0, 1, 2, 0]
-    assert out["para"].to_pylist() == ["a b", "c d", "e", "solo"]
     # identical paragraphs hash identically, distinct ones differ
     h = list(zip(out["h1"].to_pylist(), out["h2"].to_pylist()))
     assert len(set(h)) == 4
+    assert out["pos"].to_pylist() == [0, 1, 2, 1 << 20]
 
 
 def test_first_occurrence_wins(ray_session):
@@ -63,3 +67,18 @@ def test_deterministic(ray_session):
     assert a == b
     # p0..p6 survive only in docs 0..6
     assert sum(r["n_dropped"] for r in a) == 40 - 7
+
+
+def test_join_fallback_matches_broadcast(ray_session):
+    """broadcast_max=0 forces the left_outer-join reassembly; output
+    must equal the zero-text-shuffle broadcast path."""
+    import ray.data
+
+    docs = [f"p{i % 5}\n\nq{i}\n\np{(i + 1) % 5}" for i in range(30)]
+    a = sorted(dedup_paragraphs(ray.data.from_arrow(_t(docs))).take_all(),
+               key=lambda r: r["doc_id"])
+    b = sorted(dedup_paragraphs(ray.data.from_arrow(_t(docs)),
+                                broadcast_max=0,
+                                num_partitions=2).take_all(),
+               key=lambda r: r["doc_id"])
+    assert a == b
