@@ -1853,18 +1853,20 @@ def q_bm25_search(sf_dir: str) -> pd.DataFrame:
     """BM25 top-k retrieval (the lexical half of the search family next
     to ANN): query terms are the corpus's rank-6..10 words (self-
     contained pick both sides derive identically), two streaming passes
-    (stats, then score+partial-top-k), candidates-only to the driver.
-    The rational-idf variant + pinned operation order + micro-unit
-    floor make numpy and DuckDB agree bit-for-bit (ops/bm25.py)."""
-    from .ops.bm25 import bm25_topk, top_terms
+    (fused vocab+stats, then score+partial-top-k), candidates-only to
+    the driver.  The rational-idf variant + pinned operation order +
+    micro-unit floor make numpy and DuckDB agree bit-for-bit
+    (ops/bm25.py)."""
+    from .ops.bm25 import bm25_topk, top_terms_with_stats
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    terms = top_terms(ds, lo_rank=_BM25_LO, hi_rank=_BM25_HI)
+    terms, stats = top_terms_with_stats(ds, lo_rank=_BM25_LO,
+                                        hi_rank=_BM25_HI)
     out = bm25_topk(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"]),
-        terms, topk=_BM25_TOPK)
+        terms, topk=_BM25_TOPK, stats=stats)
     return out.sort_values(["term", "rank"]).reset_index(drop=True)
 
 

@@ -82,3 +82,35 @@ def test_top_terms_ranking(ray_session):
     # counts: a=5 b=4 c=3 d=2 e=1 -> ranks 1..5
     terms = top_terms(ray.data.from_arrow(tbl), lo_rank=2, hi_rank=4)
     assert terms == ["b", "c", "d"]
+
+
+def test_fused_stats_match_separate_passes(ray_session):
+    """top_terms_with_stats must reproduce top_terms + corpus_stats
+    exactly (same terms, same df/n_docs/sum_dl) from one fused pass."""
+    import ray.data
+
+    from extract_kit_ray.ops.bm25 import corpus_stats, top_terms_with_stats
+
+    ds = ray.data.from_arrow(_corpus())
+    terms, stats = top_terms_with_stats(ds, lo_rank=2, hi_rank=4)
+    assert terms == top_terms(ray.data.from_arrow(_corpus()),
+                              lo_rank=2, hi_rank=4)
+    ref = corpus_stats(ray.data.from_arrow(_corpus()), terms)
+    assert stats["n_docs"] == int(ref["n_docs"])
+    assert stats["sum_dl"] == int(ref["sum_dl"])
+    assert stats["df"] == [int(d) for d in ref["df"]]
+
+
+def test_bm25_fused_end_to_end_matches(ray_session):
+    """bm25_topk(stats=...) from the fused pass must equal the
+    three-pass result bit-for-bit."""
+    import ray.data
+
+    from extract_kit_ray.ops.bm25 import top_terms_with_stats
+
+    terms, stats = top_terms_with_stats(ray.data.from_arrow(_corpus()),
+                                        lo_rank=1, hi_rank=2)
+    fused = bm25_topk(ray.data.from_arrow(_corpus()), terms,
+                      topk=3, stats=stats)
+    sep = bm25_topk(ray.data.from_arrow(_corpus()), terms, topk=3)
+    assert fused.values.tolist() == sep.values.tolist()
