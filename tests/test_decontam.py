@@ -57,3 +57,49 @@ def test_empty_probe_set(ray_session):
                     "text": pa.array(["a b", "c d"], pa.string())})
     out = mark_contamination(ray.data.from_arrow(tbl), []).take_all()
     assert sorted(r["n_probes_hit"] for r in out) == [0, 0]
+
+
+def test_aho_corasick_matches_bruteforce():
+    """Automaton distinct-count must equal per-pattern `in` checks on
+    overlapping/nested/prefix-suffix pattern sets."""
+    from extract_kit_ray.ops.decontam import AhoCorasick
+
+    pats = ["he", "she", "his", "hers", "her", "a b c", "b c d", "c",
+            "abc abc", "bc a"]
+    ac = AhoCorasick(pats)
+    texts = ["ushers", "she sells", "a b c d e", "abc abc abc", "", "xyz",
+             "hishers", "b c a b c"]
+    for t in texts:
+        want = sum(1 for p in pats if p in t)
+        assert ac.count_distinct(t) == want, t
+
+
+def test_ac_path_matches_vectorized(ray_session):
+    """Forcing the automaton path (ac_threshold=0) must reproduce the
+    vectorized per-probe scan exactly on the fixture corpus."""
+    import ray.data
+
+    from extract_kit_ray.ops.decontam import mark_contamination
+
+    docs = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog "
+                              "near the old stone bridge today"},
+        {"doc_id": 1, "text": "completely unrelated   content\nwith  odd "
+                              "whitespace everywhere"},
+        {"doc_id": 2, "text": "prefix text then the quick brown fox jumps "
+                              "over the lazy dog near the old stone bridge "
+                              "today and more"},
+        {"doc_id": 3, "text": ""},
+    ]
+    probes = ["the quick brown fox jumps over the lazy dog near the old "
+              "stone bridge today",
+              "with odd whitespace everywhere",
+              "never present probe body that matches nothing at all here"]
+    a = sorted(mark_contamination(
+        ray.data.from_items(docs), probes).take_all(),
+        key=lambda r: r["doc_id"])
+    b = sorted(mark_contamination(
+        ray.data.from_items(docs), probes, ac_threshold=0).take_all(),
+        key=lambda r: r["doc_id"])
+    assert a == b
+    assert [r["n_probes_hit"] for r in a] == [1, 1, 1, 0]
