@@ -1541,7 +1541,7 @@ def q_media_features(sf_dir: str) -> "ray.data.Dataset":
     """Multimodal decode/optimize over a deterministic synthetic media
     table (driver testdata has no binary media): REAL PNG decode ->
     budget resize -> contrast -> re-encode for images, REAL WAV header
-    parse for audio, stubbed video.  Every projected column is
+    parse for audio, MP4/AVI header parse for video.  Every projected column is
     closed-form in media_id (ops/multimodal.py geometry constants), so
     the DuckDB oracle reconstructs the full expected table from
     range()."""
@@ -2545,8 +2545,10 @@ def _media_oracle() -> str:
     WAV_RATE/VID_DUR_MS — change together).  The resize arithmetic
     mirrors resize_plan exactly: sqrt-scale both dims when pixels
     exceed the pixtral budget, floor, never upscale; audio duration is
-    integer-floor sample math; video frame count is the 1 fps sample
-    plan capped at 32."""
+    integer-floor sample math; video duration/dimensions are the MP4
+    mvhd/tkhd (even rows) and AVI avih (odd rows) header fields the
+    fixture writes, parsed back by ops/multimodal.decode_video_meta;
+    video frame count is the 1 fps sample plan capped at 32."""
     budget = 1024 * 1024  # PIXEL_BUDGETS['pixtral']
     return f"""
 WITH m AS (
@@ -2557,12 +2559,20 @@ WITH m AS (
          300 + (i * 131) % 700 AS ih,
          1000 + (i * 331) % 16000 AS nsamp,
          8000 + (i % 8) * 1000 AS rate,
-         1000 + (i * 37) % 59000 AS vdur
+         1000 + (i * 37) % 59000 AS vdur,
+         320 + (i * 53) % 640 AS vw,
+         240 + (i * 71) % 480 AS vh
   FROM range({_N_MEDIA}) t(i)
 )
 SELECT media_id, kind,
-  CAST(CASE WHEN NOT empty AND kind = 'image' THEN iw ELSE -1 END AS INTEGER) AS decoded_width,
-  CAST(CASE WHEN NOT empty AND kind = 'image' THEN ih ELSE -1 END AS INTEGER) AS decoded_height,
+  CAST(CASE WHEN empty THEN -1
+       WHEN kind = 'image' THEN iw
+       WHEN kind = 'video' THEN vw
+       ELSE -1 END AS INTEGER) AS decoded_width,
+  CAST(CASE WHEN empty THEN -1
+       WHEN kind = 'image' THEN ih
+       WHEN kind = 'video' THEN vh
+       ELSE -1 END AS INTEGER) AS decoded_height,
   CAST(CASE WHEN empty OR kind <> 'image' THEN -1
        WHEN iw * ih <= {budget} THEN iw
        ELSE GREATEST(1, CAST(FLOOR(iw * SQRT({budget} / (CAST(iw AS DOUBLE) * ih))) AS INTEGER))

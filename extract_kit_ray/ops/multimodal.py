@@ -12,9 +12,11 @@ Decode support per kind (round 3 — the pixel path is REAL now):
   other image containers raise ValueError -> failure-as-data.
 - **audio/wav**: real RIFF/WAVE header parse (PCM fmt chunk) —
   sample rate, channels, bit depth, duration from the data chunk.
-- **video**: deterministic STUB (no ffmpeg in this container — driver
-  brief permits a clearly-marked fake): dimensions unknown (-1), the
-  frame-sample plan derives from the declared duration_ms column.
+- **video**: real MP4 (ftyp/moov/mvhd/tkhd box walk) and AVI (RIFF
+  hdrl/avih) container-header parse — duration and dimensions from
+  the payload itself, same fixed-offset struct-read cost class as the
+  WAV parse.  Frame DECODE stays out of scope (no ffmpeg in the
+  environment), so the frame-sample plan is timestamps only.
 
 Analogous reference stages: the Sharp image-optimization worker chain
 (packages/pdf-processor/src/core/vision/image-optimization.ts:28-175,
@@ -154,6 +156,153 @@ def make_wav(n_samples: int, sample_rate: int = 8000, *,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# ---------------------------------------------------------------------------
+# video containers — MP4 / AVI header parse (the same pure-Python cost
+# class as the WAV parse: fixed-offset struct reads, no frame decode).
+# Reference role: packages/pdf-processor/src/core/workers/
+# vision-optimization-worker.ts:49-194 (ffprobe-style metadata probe);
+# the sandbox has no ffmpeg, so duration/dimensions come from the
+# container headers directly and frame DECODE stays out of scope.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+_MP4_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                          0, 0, 0x40000000)
+
+
+def make_mp4(duration_ms: int, width: int, height: int, *,
+             filler: bytes = b"") -> bytes:
+    """Minimal structurally-valid MP4: ftyp + moov(mvhd + trak(tkhd)) +
+    mdat.  mvhd timescale is fixed at 1000 so its duration field IS
+    milliseconds; tkhd carries width/height in 16.16 fixed point."""
+    mvhd = (struct.pack(">B3x", 0)                     # version 0, flags
+            + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+            + struct.pack(">iHH8x", 0x00010000, 0x0100, 0)
+            + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = (struct.pack(">B3B", 0, 0, 0, 7)            # version 0, flags 7
+            + struct.pack(">IIIII", 0, 0, 1, 0, duration_ms)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + _MP4_MATRIX
+            + struct.pack(">II", width << 16, height << 16))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd)
+                    + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd)))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov + _mp4_box(b"mdat", filler)
+
+
+def make_avi(duration_ms: int, width: int, height: int, *,
+             filler: bytes = b"") -> bytes:
+    """Minimal RIFF AVI with an avih main header.  Frame rate is fixed
+    at dwMicroSecPerFrame=1000 (one frame per ms) so dwTotalFrames IS
+    milliseconds and the parsed duration round-trips exactly."""
+    avih = struct.pack("<IIIIIIIIII16x", 1000, 0, 0, 0, duration_ms,
+                       0, 1, 0, width, height)
+    hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl"
+            + b"avih" + struct.pack("<I", len(avih)) + avih)
+    movi = b"LIST" + struct.pack("<I", 4 + len(filler)) + b"movi" + filler
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, box_end) walking a box sequence;
+    bounds-checked, ValueError on malformed sizes."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        tag = buf[off + 4:off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("MP4 truncated largesize box")
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError("MP4 malformed box size")
+        yield tag, off + hdr, off + size
+        off += size
+
+
+def _parse_mp4(buf: bytes) -> dict:
+    duration_ms = width = height = None
+    for tag, ps, pe in _mp4_boxes(buf, 0, len(buf)):
+        if tag != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(buf, ps, pe):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = buf[s2]
+                if ver == 1:
+                    if e2 - s2 < 32:
+                        raise ValueError("mvhd v1 truncated")
+                    timescale = int.from_bytes(buf[s2 + 20:s2 + 24], "big")
+                    duration = int.from_bytes(buf[s2 + 24:s2 + 32], "big")
+                else:
+                    timescale = int.from_bytes(buf[s2 + 12:s2 + 16], "big")
+                    duration = int.from_bytes(buf[s2 + 16:s2 + 20], "big")
+                if timescale <= 0:
+                    raise ValueError("mvhd zero timescale")
+                duration_ms = duration * 1000 // timescale
+            elif t2 == b"trak" and width is None:
+                for t3, s3, e3 in _mp4_boxes(buf, s2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    woff = s3 + (88 if buf[s3] == 1 else 76)
+                    if woff + 8 > e3:
+                        raise ValueError("tkhd truncated")
+                    width = int.from_bytes(buf[woff:woff + 4], "big") >> 16
+                    height = int.from_bytes(buf[woff + 4:woff + 8], "big") >> 16
+    if duration_ms is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return {"duration_ms": int(duration_ms),
+            "width": int(width) if width else -1,
+            "height": int(height) if height else -1,
+            "container": "mp4"}
+
+
+def _parse_avi(buf: bytes) -> dict:
+    off = 12
+    end = len(buf)
+    while off + 8 <= end:
+        tag = buf[off:off + 4]
+        size = int.from_bytes(buf[off + 4:off + 8], "little")
+        if off + 8 + size > end:
+            raise ValueError("AVI malformed chunk size")
+        if tag == b"LIST" and buf[off + 8:off + 12] == b"hdrl":
+            sub = off + 12
+            sub_end = off + 8 + size
+            while sub + 8 <= sub_end:
+                stag = buf[sub:sub + 4]
+                ssize = int.from_bytes(buf[sub + 4:sub + 8], "little")
+                if sub + 8 + ssize > sub_end:
+                    raise ValueError("AVI malformed hdrl chunk")
+                if stag == b"avih" and ssize >= 40:
+                    us_per_frame, = struct.unpack_from("<I", buf, sub + 8)
+                    frames, = struct.unpack_from("<I", buf, sub + 8 + 16)
+                    w, h = struct.unpack_from("<II", buf, sub + 8 + 32)
+                    return {"duration_ms": int(us_per_frame) * int(frames) // 1000,
+                            "width": int(w) or -1, "height": int(h) or -1,
+                            "container": "avi"}
+                sub += 8 + ssize + (ssize & 1)
+        off += 8 + size + (size & 1)
+    raise ValueError("AVI missing hdrl/avih")
+
+
+def decode_video_meta(payload: bytes) -> dict:
+    """{duration_ms, width, height, container} from an MP4 or AVI
+    header — ValueError on anything else (failure-as-data upstream)."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _parse_mp4(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _parse_avi(payload)
+    raise ValueError("unrecognized video container (not MP4/AVI)")
+
+
 def resize_plan(width: int, height: int, model: str = "default") -> tuple[int, int]:
     """Aspect-preserving resize to the model's pixel budget
     (image-optimization.ts:117-147: sqrt-scale both dims, never upscale)."""
@@ -223,7 +372,8 @@ class MediaFeatureExtractor:
     """Actor-pool stage: per-kind decode -> REAL pixel chain for PNG
     images (decode -> optional center-crop -> budget resize -> contrast
     stretch -> PNG re-encode with actual byte metrics), WAV header
-    parse for audio, deterministic stub for video.
+    parse for audio, MP4/AVI container-header parse for video
+    (duration + dimensions; frame decode out of scope — no ffmpeg).
 
     Use small ``batch_size`` (<= 16) — binary payloads are large and a
     batch x concurrency must fit worker heaps (ray_guide.md memory
@@ -279,14 +429,18 @@ class MediaFeatureExtractor:
         }
 
     def _video_row(self, payload: bytes, declared_duration: int) -> dict:
-        # STUB (no ffmpeg): dimensions unknowable; the frame-sample plan
-        # comes from the declared duration metadata
+        # real container-header parse (MP4 moov/mvhd/tkhd, AVI avih) —
+        # duration/dimensions from the payload, not the declared
+        # metadata; frame DECODE stays out of scope (no ffmpeg in the
+        # environment), so the frame-sample plan is timestamps only
         if not payload:
             raise ValueError("empty media payload")
-        stamps = frame_sample_plan(declared_duration)
+        meta = decode_video_meta(payload)
+        stamps = frame_sample_plan(meta["duration_ms"])
         return {
-            "width": -1, "height": -1, "tw": -1, "th": -1,
-            "duration_ms": int(declared_duration), "n_frames": len(stamps),
+            "width": meta["width"], "height": meta["height"],
+            "tw": -1, "th": -1,
+            "duration_ms": int(meta["duration_ms"]), "n_frames": len(stamps),
             "features": _byte_features(payload),
             "metrics": {"original_size": len(payload),
                         "optimized_size": len(payload),
@@ -376,6 +530,8 @@ IMG_H = lambda i: 300 + (i * 131) % 700       # noqa: E731  300..999
 WAV_SAMPLES = lambda i: 1000 + (i * 331) % 16000  # noqa: E731
 WAV_RATE = lambda i: 8000 + (i % 8) * 1000    # noqa: E731
 VID_DUR_MS = lambda i: 1000 + (i * 37) % 59000  # noqa: E731
+VID_W = lambda i: 320 + (i * 53) % 640        # noqa: E731
+VID_H = lambda i: 240 + (i * 71) % 480        # noqa: E731
 
 
 # image fixture rows emitted as baseline JPEG instead of PNG — a fixed
@@ -397,9 +553,10 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
     payloads on a fixed small-image subset (plain / 4:2:0 / restart
     variants so every jpeg.py decoder path runs e2e; the geometry
     oracle is container-agnostic so the subset choice is free), REAL
-    PCM WAVs (closed-form sample counts/rates), opaque pseudo-random
-    bytes for video (decoder stubbed), and planted empty-payload
-    failure rows at media_id % 17 == 13."""
+    PCM WAVs (closed-form sample counts/rates), REAL MP4/AVI video
+    containers (alternating by row; duration/dimensions closed-form,
+    pseudo-random mdat/movi filler), and planted empty-payload failure
+    rows at media_id % 17 == 13."""
     import random
 
     ids, kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
@@ -425,11 +582,15 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
             payloads.append(make_wav(WAV_SAMPLES(i), WAV_RATE(i), seed=i))
         else:
             rng = random.Random(f"{seed}:media:{i}")
-            size = rng.randint(200, 4000)
-            payloads.append(bytes(rng.getrandbits(8) for _ in range(size)))
+            filler = bytes(rng.getrandbits(8)
+                           for _ in range(rng.randint(200, 4000)))
             dur = VID_DUR_MS(i)
+            mk = make_mp4 if (i // 3) % 2 == 0 else make_avi
+            payloads.append(mk(dur, VID_W(i), VID_H(i), filler=filler))
         mime = {"image": "image/png", "audio": "audio/wav",
                 "video": "video/mp4"}[kind]
+        if kind == "video" and (i // 3) % 2 == 1:
+            mime = "video/x-msvideo"
         if kind == "image" and i in _JPEG_FIXTURE_ROWS:
             mime = "image/jpeg"
         mimes.append(mime)

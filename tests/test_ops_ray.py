@@ -702,3 +702,51 @@ def test_dup_lookup_collision_sidecar():
         assert got.tolist() == [True, False, True, True, True]
     finally:
         dd._combine128 = orig
+
+
+def test_video_header_codecs():
+    """MP4/AVI writers round-trip through decode_video_meta; malformed
+    payloads raise ValueError (failure-as-data upstream)."""
+    from extract_kit_ray.ops.multimodal import (
+        decode_video_meta,
+        make_avi,
+        make_mp4,
+    )
+
+    m = decode_video_meta(make_mp4(43210, 640, 360, filler=b"x" * 99))
+    assert (m["duration_ms"], m["width"], m["height"]) == (43210, 640, 360)
+    a = decode_video_meta(make_avi(7777, 320, 240))
+    assert (a["duration_ms"], a["width"], a["height"]) == (7777, 320, 240)
+    for bad in (b"", b"garbage bytes", b"RIFF\x04\x00\x00\x00AVI ",
+                make_mp4(5, 1, 1)[:20]):
+        try:
+            decode_video_meta(bad)
+            raise AssertionError(f"no error for {bad[:12]!r}")
+        except ValueError:
+            pass
+
+
+def test_media_video_rows_real(ray_session):
+    """Fixture video rows now decode to real header-derived
+    duration/dimensions matching the closed-form geometry."""
+    import ray.data
+
+    from extract_kit_ray.ops.multimodal import (
+        VID_DUR_MS,
+        VID_H,
+        VID_W,
+        extract_media_features,
+        make_media_table,
+    )
+
+    tbl = make_media_table(60)
+    out = {r["media_id"]: r for r in extract_media_features(
+        ray.data.from_arrow(tbl), model="pixtral", concurrency=2).take_all()}
+    vids = [i for i in range(60) if i % 3 == 2 and i % 17 != 13]
+    assert vids
+    for i in vids:
+        r = out[i]
+        assert r["valid"], r["error"]
+        assert r["duration_ms_out"] == VID_DUR_MS(i)
+        assert r["decoded_width"] == VID_W(i)
+        assert r["decoded_height"] == VID_H(i)
