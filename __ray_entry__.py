@@ -33,6 +33,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from extract_kit_ray.driver import ORACLE_SQL
+    from extract_kit_ray.driver import ORACLE_SQL, ensure_fixture_meta
 
+    # the fixture-query oracles read a planted ground-truth parquet;
+    # written here (atomic, idempotent) instead of at driver import
+    ensure_fixture_meta()
     return dict(ORACLE_SQL)

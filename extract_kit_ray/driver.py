@@ -1556,10 +1556,13 @@ _N_FIXTURE = 400
 _FIXTURE_META_DIR = "/tmp/ekray_fixture_meta"
 
 
-def _fixture_meta_path() -> str:
-    """Parquet of PLANTED fixture ground truth (fixtures.py
-    expected_meta_table — generator knowledge, no extraction run);
-    written once, read by the fixture-query DuckDB oracles."""
+def ensure_fixture_meta() -> str:
+    """Write the PLANTED fixture ground-truth parquet (fixtures.py
+    expected_meta_table — generator knowledge, no extraction run) if
+    absent, atomically; read by the fixture-query DuckDB oracles.
+    Called lazily from ``__ray_entry__.oracle_sql()`` — NOT at module
+    import, so importing driver.py never touches /tmp and concurrent
+    importers cannot race (round-3 ADVICE)."""
     from .fixtures import write_expected_meta
 
     return write_expected_meta(_FIXTURE_META_DIR, _N_FIXTURE)
@@ -2071,7 +2074,15 @@ def q_curate_corpus(sf_dir: str) -> "ray.data.Dataset":
     proves the stages stream into each other without materialization.
     Scale shape: two narrow map_batches + filter (no shuffle), then
     dedup's compact-key shuffle, then packing's bucket shuffle —
-    full text never moves after the dedup keep-decision."""
+    full text never moves after the dedup keep-decision.
+
+    STAGE-ORDER CONTRACT: exact dedup runs BEFORE any near-dup (LSH/
+    SimHash) stage a user appends to this chain.  The hot-bucket cap
+    in ops/dedup._expand_member_pairs relies on it — with true
+    duplicates already removed here, a degenerate LSH bucket can only
+    be a near-dup mega-cluster, where the capped core+star expansion
+    is the standard trade (tests/test_pipeline_ray.py pins the
+    ordering)."""
     from .ops.dedup import exact_dedup
     from .ops.packing import next_fit_pack
     from .ops.textops import curate_signals_batch
@@ -2597,8 +2608,12 @@ ORACLE_SQL["media_features"] = _media_oracle()
 # fixture-corpus oracles: planted ground truth written to parquet by the
 # GENERATOR (fixtures.expected_meta_table — no extraction involved), so
 # DuckDB checks routing/validity/titles, the assembled layout text, and
-# the per-domain rollup counts independently of the Ray pipeline
-_FIXTURE_META = _fixture_meta_path()
+# the per-domain rollup counts independently of the Ray pipeline.  The
+# path is pure string math here; ensure_fixture_meta() writes the file
+# lazily at first oracle_sql() call.
+from .fixtures import expected_meta_path as _expected_meta_path  # noqa: E402
+
+_FIXTURE_META = _expected_meta_path(_FIXTURE_META_DIR, _N_FIXTURE)
 ORACLE_SQL["flagship_fixture"] = (
     f"SELECT url, doc_kind, valid, title FROM read_parquet('{_FIXTURE_META}')"
 )

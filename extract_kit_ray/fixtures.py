@@ -377,6 +377,15 @@ def expected_meta_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def expected_meta_path(path: str, n: int, seed: int = 42) -> str:
+    """Deterministic parquet path for the ground-truth table — pure
+    string math, no I/O, so callers can embed it in SQL at import time
+    and defer the actual write to first oracle use."""
+    import os
+
+    return os.path.join(path, f"fixture-meta-{n}-{seed}.parquet")
+
+
 def write_expected_meta(path: str, n: int, seed: int = 42) -> str:
     """Write the ground-truth table to parquet (atomic rename) and
     return the file path — the driver's fixture oracles read it with
@@ -386,7 +395,7 @@ def write_expected_meta(path: str, n: int, seed: int = 42) -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    final = os.path.join(path, f"fixture-meta-{n}-{seed}.parquet")
+    final = expected_meta_path(path, n, seed)
     if not os.path.exists(final):
         tmp = final + f".tmp{os.getpid()}"
         pq.write_table(expected_meta_table(n, seed), tmp)

@@ -43,7 +43,11 @@ import zlib
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct /Length only: the negative lookahead rejects indirect
+# references ("/Length 12 0 R" would otherwise capture 12 — the object
+# NUMBER — as a byte length and jump into the middle of the stream);
+# indirect lengths fall back to the endstream scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R\b)")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 

@@ -122,12 +122,24 @@ def connected_components_ds(
     adj = _init_adjacency(pairs_ds)
     buckets = _round(adj)
     prev_sum = buckets.aggregate(Sum("label", alias_name="s"))["s"]
+    converged = False
     for _ in range(max_rounds):
         buckets = _round(_next_adjacency(buckets))
         total = buckets.aggregate(Sum("label", alias_name="s"))["s"]
         if total == prev_sum:
+            converged = True
             break  # labels are monotone non-increasing -> fixpoint
         prev_sum = total
+    if not converged:
+        # returning partial labels would silently split long-chain
+        # components into wrong dedup clusters downstream — fail loudly
+        # instead (round-3 ADVICE).  Hash-to-min needs O(log diameter)
+        # rounds, so tripping this means a pathological graph, not a
+        # normal corpus: rerun with a larger max_rounds.
+        raise RuntimeError(
+            f"connected components did not converge within {max_rounds} "
+            f"rounds (label sum still changing: {prev_sum}); "
+            "increase max_rounds")
 
     labels = buckets.map_batches(
         lambda b: pa.table({"node": b["node"], "cluster_rep": b["label"]}),

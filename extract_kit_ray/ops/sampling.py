@@ -33,8 +33,19 @@ def sample_hash(keys: np.ndarray) -> np.ndarray:
 
 
 def sample_hash_sql(key_col: str) -> str:
-    """The DuckDB expression computing exactly :func:`sample_hash`."""
-    return f"({key_col} * {SAMPLE_HASH_MULT}) % {SAMPLE_HASH_MOD}"
+    """The DuckDB expression computing exactly :func:`sample_hash` over
+    the FULL int64 key domain.  numpy's path is ``uint64(key) * M mod
+    2^32``; since 2^32 divides 2^64, that equals ``((key mod 2^32) * M)
+    mod 2^32`` with mathematical (non-negative) mod — so the SQL first
+    masks the key to a non-negative sub-2^32 value (double-% because
+    DuckDB's % keeps the dividend's sign), then multiplies in HUGEINT
+    (the product can reach ~1.8e19, past BIGINT's 2^63-1 — a plain
+    BIGINT multiply raised an overflow error for large keys and
+    diverged for negative ones, round-3 ADVICE)."""
+    masked = (f"((({key_col} % {SAMPLE_HASH_MOD}) + {SAMPLE_HASH_MOD}) "
+              f"% {SAMPLE_HASH_MOD})")
+    return (f"((CAST({masked} AS HUGEINT) * {SAMPLE_HASH_MULT}) "
+            f"% {SAMPLE_HASH_MOD})")
 
 
 def stratified_sample(ds, *, group_col: str, key_col: str, n_per_group: int):

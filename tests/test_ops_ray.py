@@ -750,3 +750,45 @@ def test_media_video_rows_real(ray_session):
         assert r["duration_ms_out"] == VID_DUR_MS(i)
         assert r["decoded_width"] == VID_W(i)
         assert r["decoded_height"] == VID_H(i)
+
+
+def test_components_nonconvergence_raises(ray_session):
+    """A chain needing more rounds than allowed must raise, not return
+    silently split cluster labels (round-3 ADVICE)."""
+    import ray.data
+
+    from extract_kit_ray.ops.components import connected_components_ds
+
+    n = 64
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"key_a": np.arange(n - 1, dtype=np.int64),
+         "key_b": np.arange(1, n, dtype=np.int64)}))
+    keys = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64)}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_ds(pairs, keys, max_rounds=1,
+                                num_partitions=2).materialize()
+    # and with enough rounds the same chain resolves to one component
+    out = connected_components_ds(pairs, keys, max_rounds=16,
+                                  num_partitions=2).take_all()
+    assert all(r["cluster_rep"] == 0 for r in out)
+
+
+def test_sample_hash_sql_full_int64_domain():
+    """The SQL mirror must equal numpy's uint64-wrapping hash over the
+    FULL int64 key domain — negative keys and magnitudes past
+    2^32 / 2654435761 included (round-3 ADVICE)."""
+    import duckdb
+
+    from extract_kit_ray.ops.sampling import sample_hash, sample_hash_sql
+
+    rng = np.random.default_rng(3)
+    keys = np.concatenate([
+        rng.integers(-2**63, 2**63 - 1, 2000, dtype=np.int64),
+        np.array([0, -1, 1, 2**62, -2**62, 2**31, -2**31, 2**32, -2**32,
+                  2**63 - 1, -2**63], dtype=np.int64)])
+    want = sample_hash(keys).astype(np.uint64)
+    got = duckdb.sql(
+        f"SELECT {sample_hash_sql('k')} AS h FROM (SELECT unnest(?) AS k)",
+        params=[keys.tolist()]).df()["h"].to_numpy()
+    assert (got.astype(np.uint64) == want).all()

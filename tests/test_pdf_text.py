@@ -301,3 +301,26 @@ def test_fanout_handles_pdf_and_layout(ray_session):
     assert out["https://x/a.pdf"]["n_pages"] == 2
     assert out["https://x/b.layout"]["text"] == "lay"
     assert out["https://x/c.bin"]["valid"] is False
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    """'/Length 12 0 R' must NOT be read as byte length 12 (the object
+    number of the indirect ref): a stream whose early bytes contain a
+    literal 'endstream' after that bogus jump point would truncate.
+    The parser must fall back to scanning for the real endstream."""
+    from extract_kit_ray.functions.pdf_text import _LENGTH_RE, _objects
+
+    # payload contains a fake 'endstream' 14 bytes in; real stream is longer
+    payload = b"AAAAAAendstreamBBBBBBBBBBCCCCCCCCCC"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Length 12 0 R >>\nstream\n"
+           + payload +
+           b"\nendstream\nendobj\n"
+           b"12 0 obj\n" + str(len(payload)).encode() + b"\nendobj\n"
+           b"%%EOF")
+    assert _LENGTH_RE.search(b"<< /Length 12 0 R >>") is None
+    assert _LENGTH_RE.search(b"<< /Length 35 >>").group(1) == b"35"
+    objs = _objects(pdf)
+    # object 1's body must span the WHOLE stream (fake endstream inside
+    # the payload is part of it per the trailing real endstream)
+    assert payload in objs[1]

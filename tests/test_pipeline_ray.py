@@ -378,3 +378,23 @@ def test_job_entrypoint_end_to_end(tmp_path):
     r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
     stats2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert stats2["resumed"] and stats2["parts_written"] == []
+
+
+def test_curate_chain_dedups_before_packing(ray_session):
+    """Stage-order contract (see driver.q_curate_corpus): exact dedup
+    runs upstream of packing (and of any near-dup stage a user
+    appends), so the planted exact-dup cluster (doc_id%11==3, one
+    shared constant text) must reach the packed output at most once.
+    The LSH hot-bucket cap's core+star approximation relies on this
+    ordering — freeze it."""
+    from extract_kit_ray.driver import q_curate_corpus
+
+    rows = q_curate_corpus("/root/testdata/sf0.001").take_all()
+    assert rows
+    planted = [r["doc_id"] for r in rows if r["doc_id"] % 11 == 3]
+    assert len(planted) <= 1          # dedup collapsed the cluster
+    if planted:
+        # first-occurrence-wins: the survivor is the smallest planted id
+        all_ids = {r["doc_id"] for r in rows}
+        assert planted[0] == min(i for i in range(0, 501) if i % 11 == 3
+                                 and i in all_ids.union(planted))
