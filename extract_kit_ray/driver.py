@@ -1959,6 +1959,45 @@ def q_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
         zero_copy_batch=True).select_columns(["doc_id", "canon_url"])
 
 
+def q_dedup_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
+    """URL-keyed dedup — THE web-crawl dedup primitive: canonicalize
+    (ops/urlnorm.py fixed RE2 sequence) then keep the FIRST doc per
+    canonical URL via the same exact_dedup operator keyed on the
+    canonical string (content-hash groupby, min-key wins) — operator
+    composition across family lines.  The plant spreads each logical
+    page (…/Page/<doc_id%37>) across many spellings (mixed-case
+    scheme/host, default ports, utm params, fragments, trailing slash
+    varying by doc_id), so canonical groups of ~4+ docs genuinely
+    collapse.  Scale shape: stateless canonicalize pass, then dedup's
+    compact-key shuffle — URL strings never move after hashing."""
+    from .ops.dedup import exact_dedup
+    from .ops.urlnorm import canonicalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        s37 = (did % 37).astype("U4")
+        scheme = np.where(did % 2 == 1, "HtTpS", "HtTp")
+        port = np.select([did % 6 == 0, did % 6 == 1], [":80", ":443"], "")
+        slash = np.where(did % 4 == 1, "/", "")
+        q = np.select(
+            [did % 5 == 2, did % 5 == 3, did % 5 == 4],
+            ["?utm_source=news&ref=1", "?utm_x=1", "?ref=1"], "")
+        frag = np.where(did % 7 == 4, "#Top", "")
+        add = np.char.add
+        url = add(add(add(add(add(add(scheme, "://WWW.Site.EXample"), port),
+                              "/Page/"), s37), slash), add(q, frag))
+        return batch.append_column("url", pa.array(url.tolist(), pa.string()))
+
+    canon = ds.map_batches(plant, batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+        canonicalize_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "canon_url"])
+    return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
+
+
 def q_repetition_signals(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition filter signals: duplicated 2/3-gram
     character fractions + top-2-gram count fraction.  One stateless
@@ -2195,6 +2234,7 @@ QUERIES = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "repetition_signals": q_repetition_signals,
     "canonical_urls": q_canonical_urls,
+    "dedup_canonical_urls": q_dedup_canonical_urls,
     "curate_corpus": q_curate_corpus,
     "latest_event_per_user": q_latest_event_per_user,
 }
@@ -2936,6 +2976,31 @@ def _urlnorm_oracle() -> str:
 
 
 ORACLE_SQL["canonical_urls"] = _urlnorm_oracle()
+
+
+def _dedup_canon_oracle() -> str:
+    from .ops.urlnorm import oracle_canonicalize_expr
+
+    plant = (
+        "CASE WHEN doc_id % 2 = 1 THEN 'HtTpS' ELSE 'HtTp' END || "
+        "'://WWW.Site.EXample' || "
+        "CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 1 "
+        "THEN ':443' ELSE '' END || '/Page/' || CAST(doc_id % 37 AS VARCHAR) || "
+        "CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 2 THEN '?utm_source=news&ref=1' "
+        "WHEN doc_id % 5 = 3 THEN '?utm_x=1' "
+        "WHEN doc_id % 5 = 4 THEN '?ref=1' ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 4 THEN '#Top' ELSE '' END"
+    )
+    return (
+        f"WITH aug AS (SELECT doc_id, {plant} AS u FROM documents), "
+        f"canon AS (SELECT doc_id, {oracle_canonicalize_expr('u')} AS canon_url "
+        "FROM aug) "
+        "SELECT MIN(doc_id) AS doc_id, canon_url FROM canon GROUP BY canon_url"
+    )
+
+
+ORACLE_SQL["dedup_canonical_urls"] = _dedup_canon_oracle()
 
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores
