@@ -1998,6 +1998,28 @@ def q_dedup_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
     return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
 
 
+_QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
+                 "small", "pipeline"]
+_QMODEL_BIAS = -500_000
+
+
+def q_quality_model_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast linear classifier scoring (the batched model-inference
+    pattern: fastText-style quality/domain classifiers over billions of
+    docs).  Deterministic integer micro-weights ship via ray.put once,
+    each batch scores with ONE vectorized tf-matrix matmul
+    (ops/classify.py); integer scores make the SQL oracle (token
+    unnest + weight join + SUM) bit-exact.  Swapping the toy weight
+    vector for a real embedding matrix changes nothing about the Ray
+    plumbing — that is the point of the operator."""
+    from .ops.classify import model_weights, score_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return score_documents(ds, model_weights(_QMODEL_TERMS),
+                           bias_micro=_QMODEL_BIAS)
+
+
 def q_repetition_signals(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition filter signals: duplicated 2/3-gram
     character fractions + top-2-gram count fraction.  One stateless
@@ -2235,6 +2257,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "canonical_urls": q_canonical_urls,
     "dedup_canonical_urls": q_dedup_canonical_urls,
+    "quality_model_scores": q_quality_model_scores,
     "curate_corpus": q_curate_corpus,
     "latest_event_per_user": q_latest_event_per_user,
 }
@@ -3001,6 +3024,16 @@ def _dedup_canon_oracle() -> str:
 
 
 ORACLE_SQL["dedup_canonical_urls"] = _dedup_canon_oracle()
+
+
+def _qmodel_oracle() -> str:
+    from .ops.classify import model_weights, oracle_score_sql
+
+    return oracle_score_sql(model_weights(_QMODEL_TERMS),
+                            bias_micro=_QMODEL_BIAS)
+
+
+ORACLE_SQL["quality_model_scores"] = _qmodel_oracle()
 
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores
