@@ -1998,6 +1998,35 @@ def q_dedup_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
     return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
 
 
+def q_pagerank_links(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed PageRank (integer-exact variant, ops/pagerank.py):
+    the canonical iterative web-graph algorithm as K rounds of
+    shuffle-join + groupby-sum over a closed-form link graph (each doc
+    links to (id*7+1)%N, (id*13+2)%N, (id*29+3)%N — three out-edges,
+    row-local dedup).  Micro-unit integer arithmetic with per-edge
+    floor division makes every iteration order-free, so the chained-
+    CTE DuckDB oracle matches bit-for-bit — the float variant is
+    famously un-oracle-able across engines (summation order)."""
+    from .ops.pagerank import pagerank_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        src = np.tile(did, 3)
+        dst = np.concatenate([(did * 7 + 1) % n, (did * 13 + 2) % n,
+                              (did * 29 + 3) % n])
+        pairs = np.unique(np.column_stack([src, dst]), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                         "dst": pa.array(pairs[:, 1], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank_int(edges, n_iters=3)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2258,6 +2287,7 @@ QUERIES = {
     "canonical_urls": q_canonical_urls,
     "dedup_canonical_urls": q_dedup_canonical_urls,
     "quality_model_scores": q_quality_model_scores,
+    "pagerank_links": q_pagerank_links,
     "curate_corpus": q_curate_corpus,
     "latest_event_per_user": q_latest_event_per_user,
 }
@@ -3034,6 +3064,25 @@ def _qmodel_oracle() -> str:
 
 
 ORACLE_SQL["quality_model_scores"] = _qmodel_oracle()
+
+
+def _pagerank_oracle() -> str:
+    from .ops.pagerank import oracle_pagerank_sql
+
+    edges = (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT src, dst FROM ("
+        "SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst "
+        "FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn)"
+    )
+    return oracle_pagerank_sql(edges, n_iters=3)
+
+
+ORACLE_SQL["pagerank_links"] = _pagerank_oracle()
 
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores

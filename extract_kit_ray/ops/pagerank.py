@@ -1,0 +1,166 @@
+"""Distributed PageRank over a link graph — the canonical iterative
+graph algorithm of web-scale processing, expressed in Ray Data
+primitives: one shuffle join (rank onto edge sources) plus one
+groupby-sum (contributions by destination) per iteration.
+
+Integer determinism contract: ranks live in micro-units (int64).  Each
+iteration computes, per edge,
+
+    contrib = (pr[src] * damping_micro // 1_000_000) // outdeg[src]
+
+and the next rank is ``base + SUM(contrib)`` where ``base =
+1_000_000 - damping_micro`` (the teleport mass, NOT degree-normalized
+— a deliberate simplification that keeps every operand integral).
+Floor division on non-negative int64 is identical in numpy and DuckDB
+(``//``), and integer SUM is order-free, so a chained-CTE SQL oracle
+reproduces every iteration bit-for-bit — no float summation-order
+hazard, which is precisely what makes textbook float PageRank
+un-oracle-able across engines.
+
+Scale shape: the edge table is hash-partitioned once and REUSED every
+round (materialized — it is the big table and never changes); the rank
+table (two int64 columns) is the only thing that moves through the
+per-round join + aggregate.  K rounds cost K narrow shuffles — the
+honest distributed-PageRank price.  Dangling nodes (no out-edges)
+simply leak their damped mass, as in the uniform-teleport variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MICRO = 1_000_000
+
+
+def _seed(ds, **cols: int):
+    """Union ONE typed sentinel row (int64 columns) onto ``ds``.
+
+    Works around a Ray hash-shuffle edge on small/skewed inputs: an
+    aggregate partition that received no rows emits a SCHEMA-LESS empty
+    block (a known Ray TODO in plan_udf_map_op.py), map UDFs never see
+    such blocks (the batcher returns them verbatim), and a join
+    partition whose side consists only of them fails inside Acero with
+    'No match for key field'.  One typed row guarantees every shuffle
+    partition receives a typed shard and the schema always resolves.
+    Sentinel keys are ``-1`` — node ids are non-negative by contract —
+    so inner joins drop them and the final output filters them."""
+    table = pa.table({k: pa.array([v], pa.int64()) for k, v in cols.items()})
+    import ray.data
+
+    return ds.union(ray.data.from_arrow(table))
+
+
+def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
+                 num_partitions: int = 8):
+    """(src, dst) int64 edge Dataset -> (node, pr_micro) Dataset after
+    ``n_iters`` integer-exact iterations from a uniform start of
+    MICRO per node (unnormalized — ranks are comparable, not a
+    distribution; keeps the start state exactly representable).
+
+    Contract: node ids are NON-NEGATIVE int64 (-1 is reserved as the
+    schema-seed sentinel, see :func:`_seed`)."""
+    from ray.data.aggregate import Count, Sum
+
+    base = MICRO - damping_micro
+
+    # node universe = sources + destinations, deduped distributed-side
+    def col_as(b: pa.Table, src: str, out: str) -> pa.Table:
+        return pa.table({out: b[src]})
+
+    nodes = _seed(
+        edges_ds.map_batches(lambda b: col_as(b, "src", "node"),
+                             batch_format="pyarrow", zero_copy_batch=True)
+        .union(edges_ds.map_batches(lambda b: col_as(b, "dst", "node"),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True))
+        .groupby("node").aggregate(Count(alias_name="_n"))
+        .select_columns(["node"]),
+        node=-1,
+    ).materialize()
+    outdeg = _seed(
+        edges_ds.groupby("src").aggregate(Count(alias_name="outdeg")),
+        src=-1, outdeg=1,
+    ).materialize()
+    edges_ds = edges_ds.materialize()  # reused every round
+
+    pr = nodes.map_batches(
+        lambda b: b.append_column(
+            "pr_micro", pa.array(np.full(b.num_rows, MICRO, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    for _ in range(n_iters):
+        ranked_src = pr.join(
+            outdeg, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("src",),
+        )  # (node, pr_micro, outdeg) for nodes WITH out-edges
+
+        def per_source(batch: pa.Table) -> pa.Table:
+            prm = batch["pr_micro"].to_numpy()
+            od = batch["outdeg"].to_numpy()
+            contrib = (prm * damping_micro // MICRO) // od
+            return pa.table({
+                "csrc": batch["node"],
+                "contrib": pa.array(contrib, pa.int64()),
+            })
+
+        contribs = _seed(
+            ranked_src.map_batches(per_source, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+            csrc=-1, contrib=0,
+        )
+        # fan contributions across edges (join moves only 16-byte rows),
+        # then sum by destination — the round's one aggregate shuffle
+        fanned = edges_ds.join(
+            contribs, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("csrc",),
+        )
+        summed = _seed(
+            fanned.groupby("dst").aggregate(Sum("contrib", alias_name="s")),
+            dst=-1, s=0,
+        )
+        def next_rank(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            s = pc.fill_null(pc.cast(b["s"], pa.int64()), 0)
+            return pa.table({
+                "node": b["node"],
+                "pr_micro": pc.add(pa.scalar(base, pa.int64()), s),
+            })
+
+        pr = nodes.join(
+            summed, join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("dst",),
+        ).map_batches(next_rank, batch_format="pyarrow",
+                      zero_copy_batch=True).materialize()
+
+    # drop the schema sentinel (node -1) from the result
+    return pr.filter(expr="node >= 0")
+
+
+def oracle_pagerank_sql(edges_sql: str, *, n_iters: int = 3,
+                        damping_micro: int = 850_000) -> str:
+    """Chained-CTE DuckDB mirror of :func:`pagerank_int` — one CTE per
+    iteration, same integer floor-division formula per edge."""
+    base = MICRO - damping_micro
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION "
+        "SELECT dst AS node FROM edges)",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST({MICRO} AS BIGINT) AS pr_micro FROM nodes)",
+    ]
+    for i in range(n_iters):
+        prev, cur = f"pr{i}", f"pr{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT n.node, CAST({base} + COALESCE(c.s, 0) AS BIGINT)"
+            f" AS pr_micro FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, SUM((p.pr_micro * {damping_micro} // {MICRO})"
+            f" // o.outdeg) AS s"
+            f" FROM edges e JOIN {prev} p ON p.node = e.src"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst) c"
+            f" ON c.dst = n.node)"
+        )
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT node, pr_micro FROM pr{n_iters}")
