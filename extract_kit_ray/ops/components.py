@@ -161,9 +161,14 @@ def connected_components_ds(
                                      zero_copy_batch=True)
 
     # label table too large to broadcast: one narrow left_outer join of
-    # the key universe onto it (int64s only — the output exchange)
+    # the key universe onto it (int64s only — the output exchange).
+    # Schema-seed guard (ops/rayfix.py): labels derive from a bucket
+    # aggregate; -1 never matches a real non-negative key
+    from .rayfix import seed_int64
+
     joined = keys_only.join(
-        labels, join_type="left_outer", num_partitions=num_partitions,
+        seed_int64(labels, node=-1, cluster_rep=-1),
+        join_type="left_outer", num_partitions=num_partitions,
         on=(key_col,), right_on=("node",),
     )
 

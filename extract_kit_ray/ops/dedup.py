@@ -156,10 +156,21 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     # join fallback: left_outer onto the dup-cluster table; a row
     # survives iff its hash has no dup cluster (min_key null) or it IS
     # the cluster's min-key row
-    dup_side = dup_groups.map_batches(
-        lambda b: pa.table({"dh1": b["text_hash"], "dh2": b["text_hash2"],
-                            "min_key": b["min_key"]}),
-        batch_format="pyarrow", zero_copy_batch=True,
+    from .rayfix import seed_join_side
+
+    dup_side = seed_join_side(
+        dup_groups.map_batches(
+            lambda b: pa.table({"dh1": b["text_hash"], "dh2": b["text_hash2"],
+                                "min_key": b["min_key"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        # schema-seed guard (ops/rayfix.py); min_key NULL means a
+        # 2^-128 sentinel-hash collision degrades to keeping the row
+        # (same decision as "no dup cluster") — same risk class as the
+        # 128-bit hash equality the operator is already built on
+        pa.table({"dh1": pa.array([-0x5A5A5A5A5A5A5A5A], pa.int64()),
+                  "dh2": pa.array([0x3C3C3C3C3C3C3C3C], pa.int64()),
+                  "min_key": pa.array([None], pa.int64())}),
     )
     joined = hashed.join(
         dup_side, join_type="left_outer", num_partitions=num_partitions,
@@ -636,6 +647,7 @@ def minhash_lsh_dedup_distributed(
     # dedupe shuffle is spent on them.  The overflow audit column is
     # dropped here so the verification joins move only 16-byte pairs.
     pairs_ds = pairs_ds.select_columns(["key_a", "key_b"]).materialize()
+    from .rayfix import seed_int64
     n_pairs = pairs_ds.count()
 
     text_src = ds
@@ -665,10 +677,24 @@ def minhash_lsh_dedup_distributed(
     text_b = text_src.map_batches(
         _keyed_text, fn_kwargs={"key_out": "key_b_t", "text_out": "text_b"},
         batch_format="pyarrow", zero_copy_batch=True)
-    joined = pairs_ds.join(
-        text_a, join_type="inner", num_partitions=num_partitions,
-        on=("key_a",), right_on=("key_a_t",),
-    ).join(
+    # schema guard (ops/rayfix.py): pairs come from a bucket aggregate
+    # and can carry empty blocks that break the join shuffle's one-shot
+    # schema broadcast; the intermediate join output needs the same
+    # treatment before the second join.  Sentinel key -1 never matches
+    # a real non-negative doc key, so inner joins drop it.
+    from .rayfix import typed_side
+
+    pairs_ds = seed_int64(pairs_ds, key_a=-1, key_b=-1)
+    half = typed_side(
+        pairs_ds.join(
+            text_a, join_type="inner", num_partitions=num_partitions,
+            on=("key_a",), right_on=("key_a_t",),
+        ),
+        pa.table({"key_a": pa.array([-1], pa.int64()),
+                  "key_b": pa.array([-1], pa.int64()),
+                  "text_a": pa.array([""], pa.string())}),
+    )
+    joined = half.join(
         text_b, join_type="inner", num_partitions=num_partitions,
         on=("key_b",), right_on=("key_b_t",),
     )

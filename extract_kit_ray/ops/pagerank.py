@@ -33,22 +33,7 @@ import pyarrow as pa
 MICRO = 1_000_000
 
 
-def _seed(ds, **cols: int):
-    """Union ONE typed sentinel row (int64 columns) onto ``ds``.
-
-    Works around a Ray hash-shuffle edge on small/skewed inputs: an
-    aggregate partition that received no rows emits a SCHEMA-LESS empty
-    block (a known Ray TODO in plan_udf_map_op.py), map UDFs never see
-    such blocks (the batcher returns them verbatim), and a join
-    partition whose side consists only of them fails inside Acero with
-    'No match for key field'.  One typed row guarantees every shuffle
-    partition receives a typed shard and the schema always resolves.
-    Sentinel keys are ``-1`` — node ids are non-negative by contract —
-    so inner joins drop them and the final output filters them."""
-    table = pa.table({k: pa.array([v], pa.int64()) for k, v in cols.items()})
-    import ray.data
-
-    return ds.union(ray.data.from_arrow(table))
+from .rayfix import seed_int64 as _seed  # noqa: E402  (schema-seed guard)
 
 
 def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
@@ -133,9 +118,12 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
             summed, join_type="left_outer", num_partitions=num_partitions,
             on=("node",), right_on=("dst",),
         ).map_batches(next_rank, batch_format="pyarrow",
-                      zero_copy_batch=True).materialize()
+                      zero_copy_batch=True)
+        # pr is the next round's join input: compact away empty blocks
+        # (ops/rayfix.py) so the join shuffle's schema broadcast holds
+        pr = _seed(pr, node=-1, pr_micro=MICRO)
 
-    # drop the schema sentinel (node -1) from the result
+    # drop the schema sentinels (node -1) from the result
     return pr.filter(expr="node >= 0")
 
 

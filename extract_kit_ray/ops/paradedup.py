@@ -117,6 +117,7 @@ def dedup_paragraphs(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
     from ..config import broadcast_max_rows
     from .dedup import _collect_agg
+    from .rayfix import seed_join_side
 
     if broadcast_max is None:
         broadcast_max = broadcast_max_rows()
@@ -126,12 +127,21 @@ def dedup_paragraphs(ds, *, text_col: str = "text", key_col: str = "doc_id",
         fn_kwargs={"text_col": text_col, "key_col": key_col},
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    firsts = narrow.groupby(["h1", "h2"]).aggregate(
-        Min("pos", alias_name="min_pos"))
+    # schema-seed guard (ops/rayfix.py): min_pos is NULL on the
+    # sentinel, so even a 2^-128 hash collision with a real paragraph
+    # yields a null comparison -> filtered -> "no drop decision",
+    # never a wrong one
+    firsts = seed_join_side(
+        narrow.groupby(["h1", "h2"]).aggregate(Min("pos", alias_name="min_pos")),
+        pa.table({"h1": pa.array([0], pa.int64()),
+                  "h2": pa.array([0], pa.int64()),
+                  "min_pos": pa.array([None], pa.int64())}),
+    )
     joined = narrow.join(firsts, join_type="inner",
                          num_partitions=num_partitions, on=("h1", "h2"))
 
     def to_drops(batch: pa.Table) -> pa.Table:
+        # null min_pos (sentinel-matched row) -> null mask -> filtered
         mask = pc.invert(pc.equal(batch["pos"], batch["min_pos"]))
         kept = batch.filter(mask)
         return pa.table({key_col: kept[key_col], "idx": kept["idx"]})
@@ -168,8 +178,12 @@ def dedup_paragraphs(ds, *, text_col: str = "text", key_col: str = "doc_id",
                 pa.string()),
         })
 
-    renamed = drop_lists.map_batches(_encode, batch_format="pyarrow",
-                                     zero_copy_batch=True)
+    renamed = seed_join_side(
+        drop_lists.map_batches(_encode, batch_format="pyarrow",
+                               zero_copy_batch=True),
+        pa.table({"drop_key": pa.array([-1], pa.int64()),
+                  "drop_idxs": pa.array([""], pa.string())}),
+    )  # doc keys are non-negative; -1 never matches, "" decodes to no-op
     joined_docs = ds.join(renamed, join_type="left_outer",
                           num_partitions=num_partitions,
                           on=(key_col,), right_on=("drop_key",))

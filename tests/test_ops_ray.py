@@ -792,3 +792,39 @@ def test_sample_hash_sql_full_int64_domain():
         f"SELECT {sample_hash_sql('k')} AS h FROM (SELECT unnest(?) AS k)",
         params=[keys.tolist()]).df()["h"].to_numpy()
     assert (got.astype(np.uint64) == want).all()
+
+
+def test_minhash_distributed_tiny_skewed_partitions(ray_session):
+    """Regression (round 4, rayfix schema-seed guard): tiny pair sets
+    with high num_partitions must not crash the verification joins or
+    the label-completion join (Ray schema-less empty aggregate blocks)."""
+    import ray.data
+
+    from extract_kit_ray.ops.dedup import minhash_lsh_dedup_distributed
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge by the river bank every single morning")
+    docs = [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": "entirely different content here about "
+                                  "arrow batches and streams at scale"}]
+    out = minhash_lsh_dedup_distributed(
+        ray.data.from_pandas(pd.DataFrame(docs)), threshold=0.8,
+        num_partitions=8, broadcast_max=0)
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[1, "cluster_rep"] == 0 and bool(by_id.loc[1, "is_dup"])
+    assert not bool(by_id.loc[2, "is_dup"])
+
+
+def test_exact_dedup_join_tiny_skewed_partitions(ray_session):
+    """Same regression family for exact_dedup's left_outer fallback:
+    one dup cluster, eight partitions."""
+    import ray.data
+
+    from extract_kit_ray.ops.dedup import exact_dedup
+
+    rows = [{"doc_id": i, "text": "same text" if i < 2 else f"unique {i}"}
+            for i in range(6)]
+    kept = sorted(r["doc_id"] for r in exact_dedup(
+        ray.data.from_pandas(pd.DataFrame(rows)), broadcast_max=0,
+        num_partitions=8).take_all())
+    assert kept == [0, 2, 3, 4, 5]

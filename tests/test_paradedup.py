@@ -82,3 +82,20 @@ def test_join_fallback_matches_broadcast(ray_session):
                                 num_partitions=2).take_all(),
                key=lambda r: r["doc_id"])
     assert a == b
+
+
+def test_join_fallback_tiny_skewed_partitions(ray_session):
+    """Regression (round 4): a single affected doc with num_partitions
+    far above group count used to crash inside the Acero join — Ray
+    aggregates emit schema-less empty blocks for empty partitions and
+    a join partition made only of them cannot resolve its key field.
+    The rayfix schema-seed guard keeps it alive."""
+    import ray.data
+
+    docs = [{"doc_id": 0, "text": "p\n\nq"}, {"doc_id": 1, "text": "p\n\nr"},
+            {"doc_id": 2, "text": "s"}]
+    out = sorted(dedup_paragraphs(
+        ray.data.from_pandas(__import__("pandas").DataFrame(docs)),
+        broadcast_max=0, num_partitions=8).take_all(),
+        key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["n_dropped"]) for r in out] == [(0, 0), (1, 1), (2, 0)]
