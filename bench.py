@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "repetition_signals",
     "canonical_urls",
+    "dedup_canonical_urls",
+    "quality_model_scores",
     "curate_corpus",
     "latest_event_per_user",
 ]
