@@ -1998,6 +1998,27 @@ def q_dedup_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
     return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
 
 
+def q_heavy_hitter_terms(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitter terms via mergeable Misra-Gries partials (Agarwal
+    et al., Mergeable Summaries) — the frequency member of the sketch
+    family next to Bloom (membership) and HLL (distinct).  One
+    streaming pass, per-block exact counter -> MG compress, tree-merge.
+    Exactness condition (documented in ops/sketches.heavy_hitters):
+    capacity 64 exceeds the corpus vocabulary, so no compression
+    triggers and the result is the exact top-10 the SQL oracle
+    computes; the lossy regime's n/(capacity+1) bound is unit-tested."""
+    from .ops.sketches import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def tok(batch: pa.Table):
+        for t in batch["text"].to_pylist():
+            yield from (t or "").split()
+
+    return heavy_hitters(ds, col_tokens=tok, capacity=64, topk=10)
+
+
 def q_pagerank_links(sf_dir: str) -> "ray.data.Dataset":
     """Distributed PageRank (integer-exact variant, ops/pagerank.py):
     the canonical iterative web-graph algorithm as K rounds of
@@ -2288,6 +2309,7 @@ QUERIES = {
     "dedup_canonical_urls": q_dedup_canonical_urls,
     "quality_model_scores": q_quality_model_scores,
     "pagerank_links": q_pagerank_links,
+    "heavy_hitter_terms": q_heavy_hitter_terms,
     "curate_corpus": q_curate_corpus,
     "latest_event_per_user": q_latest_event_per_user,
 }
@@ -3083,6 +3105,17 @@ def _pagerank_oracle() -> str:
 
 
 ORACLE_SQL["pagerank_links"] = _pagerank_oracle()
+
+ORACLE_SQL["heavy_hitter_terms"] = """
+SELECT term, est_count, rank FROM (
+  SELECT tok AS term, COUNT(*) AS est_count,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rank
+  FROM (SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'),
+                                        ' '), ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+) WHERE rank <= 10 ORDER BY rank
+"""
 
 
 # BM25: the oracle re-derives the query terms, df/dl stats and scores

@@ -198,3 +198,70 @@ def hll_distinct(ds, *, group_col: str, key_col: str, p: int = DEFAULT_P):
         functools.partial(hll_merge_group, group_col=group_col),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries)
+# ---------------------------------------------------------------------------
+
+
+def mg_compress(counts: dict, capacity: int) -> dict:
+    """Compress an exact counter to a Misra-Gries summary of at most
+    ``capacity`` entries (Agarwal et al., "Mergeable Summaries", PODS
+    2012): subtract the (capacity+1)-th largest count from every entry
+    and keep the positive ones.  Estimates satisfy
+    ``true - n/(capacity+1) <= est <= true``."""
+    if len(counts) <= capacity:
+        return dict(counts)
+    vals = sorted(counts.values(), reverse=True)
+    cut = vals[capacity]
+    return {k: v - cut for k, v in counts.items() if v > cut}
+
+
+def mg_merge(a: dict, b: dict, capacity: int) -> dict:
+    """Merge two MG summaries: pointwise sum, then one compress step —
+    the bound-preserving merge of the mergeable-summaries theorem."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return mg_compress(out, capacity)
+
+
+def heavy_hitters(ds, *, col_tokens, capacity: int = 64, topk: int = 10):
+    """Global heavy-hitter terms via one streaming pass of mergeable
+    Misra-Gries partials (AggregateFn: per-block exact counter ->
+    compress; tree-merge with the bound-preserving MG merge; finalize
+    to the top-k by (count DESC, term ASC)).
+
+    ``col_tokens(batch) -> iterable[str]`` tokenizes a pyarrow batch.
+
+    Determinism: merge ORDER varies across runs, and MG estimates are
+    only order-independent while no compression triggers — i.e. when
+    ``capacity`` >= the distinct-term count the result is the EXACT
+    top-k (the regime the SQL-checked query runs in; documented
+    exactness condition).  Under compression the n/(capacity+1) error
+    bound still holds for any merge tree (unit-tested)."""
+    from collections import Counter
+
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate(acc: dict, blk) -> dict:
+        # blocks arrive as Arrow tables (parquet reads) or pandas
+        # frames (from_pandas datasets) depending on the source
+        tbl = (blk if isinstance(blk, pa.Table)
+               else pa.Table.from_pandas(blk, preserve_index=False))
+        c: Counter = Counter(col_tokens(tbl))
+        return mg_merge(acc, dict(c), capacity)
+
+    agg = AggregateFn(
+        init=lambda k: {},
+        merge=lambda a, b: mg_merge(a, b, capacity),
+        accumulate_block=accumulate,
+        name="mg",
+    )
+    summary = ds.aggregate(agg)["mg"]
+    ranked = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return pd.DataFrame(
+        {"term": [t for t, _ in ranked],
+         "est_count": pd.array([c for _, c in ranked], dtype="int64"),
+         "rank": pd.array(range(1, len(ranked) + 1), dtype="int64")})

@@ -828,3 +828,69 @@ def test_exact_dedup_join_tiny_skewed_partitions(ray_session):
         ray.data.from_pandas(pd.DataFrame(rows)), broadcast_max=0,
         num_partitions=8).take_all())
     assert kept == [0, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_error_bound_lossy_regime():
+    """Under compression, every estimate must satisfy
+    true - n/(capacity+1) <= est <= true, for any merge tree."""
+    from collections import Counter
+
+    from extract_kit_ray.ops.sketches import mg_compress, mg_merge
+
+    rng = np.random.default_rng(9)
+    stream = rng.zipf(1.5, 5000)
+    stream = stream[stream < 50].astype(str)
+    true = Counter(stream)
+    cap = 8
+    # three different merge trees over 10 chunks
+    chunks = np.array_split(stream, 10)
+    partials = [mg_compress(dict(Counter(c.tolist())), cap) for c in chunks]
+    import functools
+    merged_l = functools.reduce(lambda a, b: mg_merge(a, b, cap), partials)
+    merged_r = functools.reduce(lambda a, b: mg_merge(b, a, cap),
+                                reversed(partials))
+    halves = mg_merge(
+        functools.reduce(lambda a, b: mg_merge(a, b, cap), partials[:5]),
+        functools.reduce(lambda a, b: mg_merge(a, b, cap), partials[5:]), cap)
+    n = len(stream)
+    for summary in (merged_l, merged_r, halves):
+        assert len(summary) <= cap
+        for k, est in summary.items():
+            assert est <= true[k]
+            assert est >= true[k] - n / (cap + 1)
+
+
+def test_mg_exact_when_capacity_covers_vocab():
+    from collections import Counter
+
+    from extract_kit_ray.ops.sketches import mg_compress, mg_merge
+
+    a = dict(Counter("a a b b b c".split()))
+    b = dict(Counter("a c c d".split()))
+    merged = mg_merge(mg_compress(a, 10), mg_compress(b, 10), 10)
+    assert merged == {"a": 3, "b": 3, "c": 3, "d": 1}
+
+
+def test_heavy_hitters_dataset_exact(ray_session):
+    import ray.data
+    from collections import Counter
+
+    from extract_kit_ray.ops.sketches import heavy_hitters
+
+    texts = [f"w{i % 7} w{i % 3} filler{i}" for i in range(200)]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(8)
+
+    def tok(batch):
+        for t in batch["text"].to_pylist():
+            yield from t.split()
+
+    out = heavy_hitters(ds, col_tokens=tok, capacity=500, topk=5)
+    true = Counter(w for t in texts for w in t.split())
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["term"], out["est_count"])) == want
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
