@@ -23,6 +23,13 @@ table (two int64 columns) is the only thing that moves through the
 per-round join + aggregate.  K rounds cost K narrow shuffles — the
 honest distributed-PageRank price.  Dangling nodes (no out-edges)
 simply leak their damped mass, as in the uniform-teleport variant.
+
+Integer headroom: the per-edge multiply ``pr_micro * damping_micro``
+must stay below 2^63, i.e. a node's accumulated rank below ~1.08e13
+micro-units (≈ 10^7 nodes' worth of mass concentrated on one hub at
+default damping).  Beyond that regime numpy would wrap while DuckDB
+raises — switch the contribution arithmetic to object/HUGEINT or
+rescale MICRO before running planetary-hub graphs.
 """
 
 from __future__ import annotations

@@ -575,15 +575,16 @@ def test_sample_fraction_deterministic(ray_session):
 
 
 def test_lsh_hot_bucket_capped(ray_session):
-    """10k-identical-docs regime at test scale: 2000 identical docs put
-    every key in ONE bucket per band.  With the cap, pair output must be
-    O(cap^2 + n) per band — not n^2/2 — every key must keep a candidate
-    edge (star edges), and capped pairs must be flagged overflow=True."""
+    """10k identical docs put every key in ONE bucket per band (the
+    boilerplate-crawl-slice regime).  With the cap, pair output must be
+    O(cap^2 + n) per band — not n^2/2 ≈ 50M — every key must keep a
+    candidate edge (star edges), and capped pairs must be flagged
+    overflow=True."""
     import ray.data
 
     from extract_kit_ray.ops.dedup import minhash_lsh_candidates
 
-    n, cap, n_bands = 2000, 16, 4
+    n, cap, n_bands = 10_000, 16, 4
     ds = ray.data.from_pandas(pd.DataFrame(
         {"doc_id": np.arange(n, dtype=np.int64),
          "text": ["identical cookie banner boilerplate accepted on every "
