@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "canonical_urls",
     "dedup_canonical_urls",
     "quality_model_scores",
+    "heavy_hitter_terms",
     "curate_corpus",
     "latest_event_per_user",
 ]
