@@ -243,3 +243,36 @@ def test_media_extractor_total_on_bytes(payload):
     out = MediaFeatureExtractor()(batch)
     assert out.num_rows == 3
     assert all(isinstance(v, bool) for v in out["valid"].to_pylist())
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=2048))
+def test_video_meta_total_on_bytes(payload):
+    """decode_video_meta is total: any byte string either yields a
+    well-formed meta dict or raises ValueError — never another
+    exception, never a hang."""
+    from extract_kit_ray.ops.multimodal import decode_video_meta
+
+    try:
+        meta = decode_video_meta(payload)
+    except ValueError:
+        return
+    assert set(meta) == {"duration_ms", "width", "height", "container"}
+    assert meta["duration_ms"] >= 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10**6), st.integers(1, 4096), st.integers(1, 4096),
+       st.binary(max_size=256))
+def test_video_containers_roundtrip(dur, w, h, filler):
+    """Every writable (duration, w, h) round-trips through both
+    containers bit-exactly."""
+    from extract_kit_ray.ops.multimodal import (
+        decode_video_meta,
+        make_avi,
+        make_mp4,
+    )
+
+    for mk in (make_mp4, make_avi):
+        m = decode_video_meta(mk(dur, w, h, filler=filler))
+        assert (m["duration_ms"], m["width"], m["height"]) == (dur, w, h)
