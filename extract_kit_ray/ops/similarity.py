@@ -401,42 +401,102 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, n_lists: int = 16,
 # ---------------------------------------------------------------------------
 
 
+_EMPTY_PAIRS = {"key_a": pd.Series([], dtype=np.int64),
+                "key_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64),
+                "overflow": pd.Series([], dtype=bool)}
+
+
 def embedding_near_dups(ds, *, threshold: float = 0.95, n_bits: int = 10,
                         vec_col: str = "embedding", key_col: str = "vec_id",
                         seed: int = 2024, concurrency=4,
-                        num_cpus: float = 0.5) -> pd.DataFrame:
+                        num_cpus: float = 0.5,
+                        max_bucket_members: int | None = None) -> pd.DataFrame:
     """Near-dup pairs by cosine >= threshold, LSH-bucketed: pairs are only
-    checked within a bucket and its single-bit neighbors via banding —
-    here approximated by grouping on the bucket id (recall documented as
-    bucket-local)."""
-    # infer dim from first row
-    first = ds.take(1)[0][vec_col]
-    planes = hyperplanes(len(first), n_bits, seed)
+    checked within a bucket (recall documented as bucket-local).
+
+    Scale shape (round-4 verdict #1 closed): the bucket groupby shuffles
+    ONLY narrow (key:int64, lsh_bucket:int64) rows — embeddings never
+    ride the all-to-all — and pair expansion reuses the minhash path's
+    core+star overflow cap (:func:`..dedup._expand_member_pairs`):
+    above ``max_bucket_members`` (default :func:`config.lsh_bucket_cap`,
+    ``EKRAY_LSH_BUCKET_CAP``; 0 disables) a degenerate bucket expands a
+    deterministic hash-sampled core plus one star edge per extra member
+    instead of n^2 pairs, and capped pairs carry ``overflow=True``.
+    Candidate pairs are then VERIFIED by exact cosine: vectors are
+    fetched for candidate-pair ENDPOINTS only (vectorized ``np.isin``
+    filter distributed-side before the collect), so the driver readout
+    is bounded by candidate volume, never corpus size — same contract
+    as :func:`..dedup.minhash_lsh_dedup`'s text fetch.  What overflow
+    loses: core-external pairs whose star edge fails verification —
+    the same documented trade as the text LSH/SimHash paths."""
+    from ..config import lsh_bucket_cap
+    from .dedup import _collect_agg, _expand_member_pairs
+
+    if max_bucket_members is None:
+        max_bucket_members = lsh_bucket_cap()
+    cap = max_bucket_members if max_bucket_members > 0 else None
+
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    planes = hyperplanes(len(first[0][vec_col]), n_bits, seed)
     planes_ref = ray.put(planes)
-    bucketed = ds.map_batches(
-        LshBucketer, fn_constructor_kwargs={"planes_ref": planes_ref, "vec_col": vec_col},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
-        num_cpus=num_cpus,
-    ).select_columns([key_col, vec_col, "lsh_bucket"])
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
-        g = group.sort_values(key_col)
-        mat = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float32))
-        keys = np.asarray(g[key_col].tolist())
-        sims = mat @ mat.T
-        # vectorized upper-triangle harvest — a Python pair loop is
-        # quadratic interpreter work on a dense bucket
-        ij = np.argwhere(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({
-            "key_a": keys[ij[:, 0]],
-            "key_b": keys[ij[:, 1]],
-            "cosine": sims[ij[:, 0], ij[:, 1]].astype(np.float64),
-        })
+    class NarrowBucketer:
+        """Emits ONLY (key, lsh_bucket) — 16 bytes/row into the shuffle."""
 
-    out = bucketed.groupby("lsh_bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-    df = out.to_pandas()
-    if len(df) == 0:
-        return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
-    return df.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_batch_matrix(batch, vec_col))
+            buckets = lsh_bucket_ids(mat, self.planes)
+            return pa.table({
+                key_col: pa.array(_col_numpy(batch, key_col, np.int64)),
+                "lsh_bucket": pa.array(buckets),
+            })
+
+    keyed = ds.map_batches(
+        NarrowBucketer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=num_cpus,
+    )
+    buckets = keyed.groupby("lsh_bucket").aggregate(_collect_agg(key_col))
+    pairs = buckets.map_batches(
+        _expand_member_pairs,
+        fn_kwargs={"max_members": cap, "salt_col": "lsh_bucket"},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame(_EMPTY_PAIRS)
+
+    # endpoint-filtered vector fetch: np.isin against the sorted unique
+    # endpoint array (no Python set-membership per row)
+    endpoints = np.unique(np.concatenate(
+        [pairs["key_a"].to_numpy(np.int64), pairs["key_b"].to_numpy(np.int64)]))
+    endpoints_ref = ray.put(endpoints)
+
+    def _filter_endpoints(batch: pa.Table) -> pa.Table:
+        keys = _col_numpy(batch, key_col, np.int64)
+        mask = np.isin(keys, ray.get(endpoints_ref))
+        return batch.select([key_col, vec_col]).filter(pa.array(mask))
+
+    vec_rows = ds.map_batches(
+        _filter_endpoints, batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    keys = vec_rows[key_col].to_numpy(np.int64)
+    mats = _normalize(np.asarray(vec_rows[vec_col].tolist(), dtype=np.float32))
+    # key -> row index via searchsorted over the sorted key array
+    order = np.argsort(keys, kind="stable")
+    skeys, smats = keys[order], mats[order]
+    ia = np.searchsorted(skeys, pairs["key_a"].to_numpy(np.int64))
+    ib = np.searchsorted(skeys, pairs["key_b"].to_numpy(np.int64))
+    sims = np.einsum("ij,ij->i", smats[ia], smats[ib]).astype(np.float64)
+    keep = sims >= threshold
+    out = pd.DataFrame({
+        "key_a": pairs["key_a"].to_numpy(np.int64)[keep],
+        "key_b": pairs["key_b"].to_numpy(np.int64)[keep],
+        "cosine": sims[keep],
+        "overflow": pairs["overflow"].to_numpy()[keep],
+    })
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)

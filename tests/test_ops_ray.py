@@ -638,6 +638,58 @@ def test_simhash_hot_bucket_capped(ray_session):
     assert covered == set(range(n))
 
 
+def test_embedding_hot_bucket_capped(ray_session):
+    """10k identical vectors land in ONE LSH bucket (the degenerate
+    boilerplate-embedding regime from the round-4 verdict).  With the
+    cap, pair output must be O(cap^2 + n) — not n^2/2 ≈ 50M — every key
+    must keep an edge (star), capped pairs must be flagged, and all
+    pairs verify at cosine 1.0."""
+    import ray.data
+
+    from extract_kit_ray.ops.similarity import embedding_near_dups
+
+    n, cap = 10_000, 16
+    vec = (np.arange(8, dtype=np.float32) + 1.0).tolist()
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [vec] * n}))
+    pairs = embedding_near_dups(ds, threshold=0.95, n_bits=4,
+                                concurrency=2, max_bucket_members=cap)
+    bound = cap * (cap - 1) // 2 + (n - cap)
+    assert 0 < len(pairs) <= bound          # quadratic would be ~50M
+    assert pairs["overflow"].all()
+    assert (pairs["cosine"] >= 0.999).all()
+    covered = set(pairs["key_a"]) | set(pairs["key_b"])
+    assert covered == set(range(n))         # star edges keep every member
+
+
+def test_embedding_cap_noop_below_threshold(ray_session):
+    """A cap far above bucket sizes must not change pair output vs the
+    uncapped run, and normal pairs must carry overflow=False."""
+    import ray.data
+
+    from extract_kit_ray.ops.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    rows = pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": [v.tolist() for v in base],
+    })
+    # plant a near-dup of row 3
+    rows = pd.concat([rows, pd.DataFrame(
+        {"vec_id": [500], "embedding": [(base[3] * 1.001).tolist()]})],
+        ignore_index=True)
+    a = embedding_near_dups(ray.data.from_pandas(rows), threshold=0.99,
+                            n_bits=4, concurrency=2, max_bucket_members=0)
+    b = embedding_near_dups(ray.data.from_pandas(rows), threshold=0.99,
+                            n_bits=4, concurrency=2, max_bucket_members=10_000)
+    key = ["key_a", "key_b"]
+    assert a[key].values.tolist() == b[key].values.tolist()
+    assert (3, 500) in set(map(tuple, b[key].values.tolist()))
+    assert not b["overflow"].any()
+
+
 def test_lsh_cap_noop_below_threshold(dup_docs):
     """A cap far above bucket sizes must not change candidate output,
     and normal pairs must carry overflow=False."""
