@@ -171,6 +171,48 @@ def lsh_bucket_cap(env=None) -> int:
     return val
 
 
+def default_num_partitions(env=None) -> int:
+    """Join/shuffle partition default DERIVED FROM THE CLUSTER instead
+    of a hardcoded constant (round-4 verdict #4): 2x total cluster CPUs
+    (floor 8), so an exchange spreads across every core with headroom
+    for skewed partitions, and a 256-node run doesn't funnel its joins
+    through 8 aggregators.  Reads live ``ray.cluster_resources()`` when
+    a session exists (the driver's ``ray.init`` happens before any
+    query runs), else ``os.cpu_count()``.  Override with
+    ``EKRAY_NUM_PARTITIONS``."""
+    import os
+
+    env = os.environ if env is None else env
+    raw = env.get("EKRAY_NUM_PARTITIONS")
+    if raw is not None:
+        try:
+            val = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"EKRAY_NUM_PARTITIONS must be an integer, got {raw!r}"
+            ) from None
+        if val < 1:
+            raise ValueError(f"EKRAY_NUM_PARTITIONS must be >= 1, got {val}")
+        return val
+    cpus = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = ray.cluster_resources().get("CPU")
+    except Exception:
+        cpus = None
+    if not cpus:
+        cpus = os.cpu_count() or 4
+    return max(8, int(cpus) * 2)
+
+
+def resolve_num_partitions(num_partitions: int | None, env=None) -> int:
+    """``None`` -> :func:`default_num_partitions`; explicit values pass
+    through (callers that know their exchange is tiny keep their 2/4)."""
+    return default_num_partitions(env) if num_partitions is None else int(num_partitions)
+
+
 def validate_pdf_payload(payload: bytes, filename: str = "") -> tuple[bool, str | None]:
     """The upload gate (validation.ts:52-64): must look like a PDF (magic
     or .pdf name) and stay under 50 MB."""

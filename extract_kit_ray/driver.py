@@ -1501,6 +1501,25 @@ def q_minhash_dedup_distributed(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "is_dup"]]
 
 
+def q_minhash_dedup_writeout(sf_dir: str) -> "ray.data.Dataset":
+    """End-to-end Dataset-returning distributed dedup (round-4 verdict
+    #2): labels flow from :func:`ops.dedup.minhash_lsh_dedup_ds`
+    straight to partitioned Parquet and are read back as a Dataset —
+    NO corpus-sized driver collect anywhere on this path (the pandas
+    wrapper exists only as the oracle contract).  Same planted-pair
+    oracle as minhash_dedup."""
+    import tempfile
+
+    from .ops.dedup import minhash_lsh_dedup_ds
+
+    out_dir = tempfile.mkdtemp(prefix="ekray_dedup_labels_")
+    labels = minhash_lsh_dedup_ds(_planted_docs(sf_dir), threshold=0.8,
+                                  concurrency=_fixed_concurrency(),
+                                  num_partitions=4)
+    labels.select_columns(["doc_id", "is_dup"]).write_parquet(out_dir)
+    return ray.data.read_parquet(out_dir)
+
+
 def q_segment_sales(sf_dir: str) -> "ray.data.Dataset":
     """Shuffle hash join (Dataset.join) + rollup: orders joined to their
     customer's market segment, exact cent-sums per segment.  The
@@ -2286,6 +2305,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_distributed": q_minhash_dedup_distributed,
+    "minhash_dedup_writeout": q_minhash_dedup_writeout,
     "segment_sales": q_segment_sales,
     "media_features": q_media_features,
     "flagship_fixture": q_flagship_fixture,
@@ -2663,6 +2683,7 @@ SELECT a AS doc_id, min(b) < a AS is_dup FROM reach GROUP BY a
 
 ORACLE_SQL["minhash_dedup"] = _MINHASH_ORACLE
 ORACLE_SQL["minhash_dedup_distributed"] = _MINHASH_ORACLE
+ORACLE_SQL["minhash_dedup_writeout"] = _MINHASH_ORACLE
 
 
 def _media_oracle() -> str:

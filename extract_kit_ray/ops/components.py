@@ -96,16 +96,17 @@ def connected_components_ds(
     *,
     key_col: str = "doc_id",
     max_rounds: int = 16,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     broadcast_max: int | None = None,
 ) -> "ray.data.Dataset":
     """(key_a, key_b) pair Dataset + key universe -> Dataset
     (key_col, cluster_rep), fully distributed; consume with
     ``write_parquet`` at corpus scale."""
-    from ..config import broadcast_max_rows
+    from ..config import broadcast_max_rows, resolve_num_partitions
 
     if broadcast_max is None:
         broadcast_max = broadcast_max_rows()
+    num_partitions = resolve_num_partitions(num_partitions)
 
     keys_only = keys_ds.map_batches(
         lambda b, c=key_col: pa.table({c: pc.cast(b[c], pa.int64())}),
@@ -186,7 +187,7 @@ def connected_components(
     *,
     key_col: str = "doc_id",
     max_iters: int = 16,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     broadcast_max: int | None = None,
 ) -> pd.DataFrame:
     """Collecting wrapper over :func:`connected_components_ds`: returns

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64, hash128_signed, mix64, permutation_params
 
@@ -97,7 +98,8 @@ class _DupLookup:
 
 
 def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
-                broadcast_max: int | None = None, num_partitions: int = 8):
+                broadcast_max: int | None = None,
+                num_partitions: int | None = None):
     """Keep the min-key row per distinct text (first-wins, deterministic).
 
     SQL-oracle equivalent: ``SELECT min(doc_id) ... GROUP BY text``.
@@ -115,10 +117,11 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     """
     from ray.data.aggregate import Count, Min
 
-    from ..config import broadcast_max_rows
+    from ..config import broadcast_max_rows, resolve_num_partitions
 
     if broadcast_max is None:
         broadcast_max = broadcast_max_rows()
+    num_partitions = resolve_num_partitions(num_partitions)
 
     hashed = ds.map_batches(
         add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
@@ -609,18 +612,23 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     )
 
 
-def minhash_lsh_dedup_distributed(
+def minhash_lsh_dedup_ds(
     ds, *, text_col: str = "text", key_col: str = "doc_id",
     n_perm: int = 64, n_bands: int = 16, threshold: float = 0.8,
-    concurrency=4, num_partitions: int = 8, broadcast_max: int | None = None,
+    concurrency=4, num_partitions: int | None = None,
+    broadcast_max: int | None = None,
     max_bucket_members: int | None = None,
-) -> pd.DataFrame:
-    """Corpus-scale variant of :func:`minhash_lsh_dedup`: candidate
-    verification happens distributed-side (no driver-side text or
-    signature maps), and clustering is distributed hash-to-min
-    propagation (ops/components.py) instead of driver union-find.
-    Semantics identical (same exact-Jaccard arbiter); only the label
-    table is collected at the end (one row per key — the result).
+) -> "ray.data.Dataset":
+    """Corpus-scale variant of :func:`minhash_lsh_dedup` — THE
+    production default at 10^12-doc scale: candidate verification
+    happens distributed-side (no driver-side text or signature maps),
+    clustering is distributed hash-to-min propagation
+    (ops/components.py) instead of driver union-find, and the result
+    is a **Dataset** of (key, cluster_rep, is_dup) — one row per
+    corpus key — meant to be consumed with ``write_parquet`` /
+    ``count``; NOTHING corpus-sized is ever collected on the driver.
+    Semantics identical to the driver variant (same exact-Jaccard
+    arbiter).
 
     Verification is two-tier on candidate-pair count (the materialized
     pair table makes the count free): under
@@ -630,11 +638,12 @@ def minhash_lsh_dedup_distributed(
     hash joins; above it, the joins run against the full text table —
     one corpus-wide hash-partition per side, the honest worst case.
     """
-    from ..config import broadcast_max_rows
-    from .components import connected_components
+    from ..config import broadcast_max_rows, resolve_num_partitions
+    from .components import connected_components_ds
 
     if broadcast_max is None:
         broadcast_max = broadcast_max_rows()
+    num_partitions = resolve_num_partitions(num_partitions)
 
     pairs_ds, sigs_ds = minhash_lsh_candidates(
         ds, text_col=text_col, key_col=key_col, n_perm=n_perm,
@@ -712,12 +721,37 @@ def minhash_lsh_dedup_distributed(
                          "key_b": pa.array(keep_b, pa.int64())})
 
     verified = joined.map_batches(verify, batch_format="pyarrow")
-    labels = connected_components(
+    labels = connected_components_ds(
         verified, sigs_ds, key_col=key_col, num_partitions=num_partitions,
         broadcast_max=broadcast_max,
     )
-    labels["is_dup"] = labels[key_col] != labels["cluster_rep"]
-    return labels.reset_index(drop=True)
+
+    def _flag(batch: pa.Table, *, c=key_col) -> pa.Table:
+        return batch.append_column(
+            "is_dup", pc.not_equal(batch[c], batch["cluster_rep"]))
+
+    return labels.map_batches(_flag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def minhash_lsh_dedup_distributed(
+    ds, *, text_col: str = "text", key_col: str = "doc_id",
+    n_perm: int = 64, n_bands: int = 16, threshold: float = 0.8,
+    concurrency=4, num_partitions: int | None = None,
+    broadcast_max: int | None = None,
+    max_bucket_members: int | None = None,
+) -> pd.DataFrame:
+    """Collecting wrapper over :func:`minhash_lsh_dedup_ds` — the
+    oracle/test contract (sorted pandas label table).  A corpus-scale
+    run uses the Dataset variant directly and writes the labels out
+    instead of collecting them."""
+    out = minhash_lsh_dedup_ds(
+        ds, text_col=text_col, key_col=key_col, n_perm=n_perm,
+        n_bands=n_bands, threshold=threshold, concurrency=concurrency,
+        num_partitions=num_partitions, broadcast_max=broadcast_max,
+        max_bucket_members=max_bucket_members,
+    )
+    return out.to_pandas().sort_values(key_col).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -44,7 +44,7 @@ from .rayfix import seed_int64 as _seed  # noqa: E402  (schema-seed guard)
 
 
 def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
-                 num_partitions: int = 8):
+                 num_partitions: int | None = None):
     """(src, dst) int64 edge Dataset -> (node, pr_micro) Dataset after
     ``n_iters`` integer-exact iterations from a uniform start of
     MICRO per node (unnormalized — ranks are comparable, not a
@@ -54,6 +54,9 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
     schema-seed sentinel, see :func:`_seed`)."""
     from ray.data.aggregate import Count, Sum
 
+    from ..config import resolve_num_partitions
+
+    num_partitions = resolve_num_partitions(num_partitions)
     base = MICRO - damping_micro
 
     # node universe = sources + destinations, deduped distributed-side

@@ -103,7 +103,7 @@ def _rebuild_batch(batch: pa.Table, *, text_col: str, key_col: str,
 
 def dedup_paragraphs(ds, *, text_col: str = "text", key_col: str = "doc_id",
                      broadcast_max: int | None = None,
-                     num_partitions: int = 8):
+                     num_partitions: int | None = None):
     """Corpus-wide first-occurrence paragraph dedup.  Returns a Dataset
     of (key, text, n_kept, n_dropped) with ``text`` the doc rebuilt
     from its surviving paragraphs (PARA_SEP-joined, original order).
@@ -115,12 +115,13 @@ def dedup_paragraphs(ds, *, text_col: str = "text", key_col: str = "doc_id",
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    from ..config import broadcast_max_rows
+    from ..config import broadcast_max_rows, resolve_num_partitions
     from .dedup import _collect_agg
     from .rayfix import seed_join_side
 
     if broadcast_max is None:
         broadcast_max = broadcast_max_rows()
+    num_partitions = resolve_num_partitions(num_partitions)
 
     narrow = ds.map_batches(
         split_paragraph_hashes,
