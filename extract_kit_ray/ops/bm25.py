@@ -205,7 +205,12 @@ def top_terms_with_stats(ds, *, lo_rank: int, hi_rank: int,
                    Sum("docs", alias_name="docs"), Sum("dl", alias_name="dl"))
         .materialize()
     )
-    totals = vocab.filter(expr="word == ''").take_all()[0]
+    totals_rows = vocab.filter(expr="word == ''").take_all()
+    if not totals_rows:
+        raise ValueError(
+            "top_terms_with_stats: empty corpus — no batches produced the "
+            "sentinel totals row (input dataset has zero blocks/rows)")
+    totals = totals_rows[0]
     head = (vocab.filter(expr="word != ''")
             .sort(["n", "word"], descending=[True, False])
             .limit(hi_rank).take_all())

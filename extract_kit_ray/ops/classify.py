@@ -90,7 +90,8 @@ def oracle_score_sql(terms_weights: dict[str, int], *, bias_micro: int = 0,
     the same normalize/split convention, join the weight VALUES list,
     SUM(count * weight) in BIGINT (integer — no float order issues)."""
     vals = ", ".join(
-        f"('{t}', {w})" for t, w in sorted(terms_weights.items()))
+        "('{}', {})".format(t.replace("'", "''"), w)
+        for t, w in sorted(terms_weights.items()))
     return f"""
 WITH toks AS (
   SELECT {key_col},

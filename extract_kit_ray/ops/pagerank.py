@@ -94,6 +94,14 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
         def per_source(batch: pa.Table) -> pa.Table:
             prm = batch["pr_micro"].to_numpy()
             od = batch["outdeg"].to_numpy()
+            # int64 headroom guard (see module docstring): numpy would
+            # silently wrap where the DuckDB oracle raises — fail loudly
+            # like the oracle instead of returning wrong ranks.
+            if prm.size and int(prm.max()) > (2**63 - 1) // damping_micro:
+                raise OverflowError(
+                    "pagerank_int: pr_micro * damping_micro would exceed "
+                    f"int64 (max pr_micro {int(prm.max())}); rescale MICRO "
+                    "or lower damping for this graph")
             contrib = (prm * damping_micro // MICRO) // od
             return pa.table({
                 "csrc": batch["node"],

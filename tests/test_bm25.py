@@ -114,3 +114,18 @@ def test_bm25_fused_end_to_end_matches(ray_session):
                       topk=3, stats=stats)
     sep = bm25_topk(ray.data.from_arrow(_corpus()), terms, topk=3)
     assert fused.values.tolist() == sep.values.tolist()
+
+
+def test_top_terms_with_stats_empty_corpus(ray_session):
+    """An empty input must raise a descriptive ValueError, not an
+    opaque IndexError (ADVICE r4)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from extract_kit_ray.ops.bm25 import top_terms_with_stats
+
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    with pytest.raises(ValueError, match="empty corpus"):
+        top_terms_with_stats(empty, lo_rank=1, hi_rank=5)

@@ -74,3 +74,14 @@ def test_dataset_wrapper_broadcast(ray_session):
                   key=lambda r: r["doc_id"])
     want = _expected(w, -100_000)
     assert [(r["doc_id"], r["score_micro"], r["keep"]) for r in rows] == want
+
+
+def test_oracle_sql_escapes_quotes():
+    """Terms containing apostrophes must produce valid SQL (ADVICE r4):
+    the VALUES list doubles single quotes."""
+    w = {"don't": 5, "plain": 3}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        [{"doc_id": 0, "text": "don't stop plain"}]))
+    out = con.execute(oracle_score_sql(w)).df()
+    assert out["score_micro"].tolist() == [8]

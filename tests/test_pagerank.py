@@ -58,3 +58,19 @@ def test_oracle_sql_parity(ray_session):
         oracle_pagerank_sql("SELECT src, dst FROM e")).df()
     want_map = dict(zip(want["node"], want["pr_micro"]))
     assert got == {int(k): int(v) for k, v in want_map.items()}
+
+
+def test_overflow_guard_raises(ray_session):
+    """The per-edge multiply pr_micro * damping_micro must fail loudly
+    (like the DuckDB oracle) instead of wrapping int64: plant a rank
+    beyond the documented ~1.08e13 micro-unit headroom via a giant
+    damping and assert OverflowError, not silent wrong ranks."""
+    import ray.data
+
+    edges = [(0, 1), (1, 0)]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    with pytest.raises((OverflowError, Exception)) as ei:
+        out = pagerank_int(ds, n_iters=2, num_partitions=2,
+                           damping_micro=2**62)
+        out.take_all()
+    assert "int64" in str(ei.value) or "OverflowError" in str(ei.value)
