@@ -17,6 +17,7 @@ nothing here calls ``ray.init``.
 from __future__ import annotations
 
 import html as _html
+import os
 
 import numpy as np
 import pandas as pd
@@ -1520,6 +1521,52 @@ def q_minhash_dedup_writeout(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(out_dir)
 
 
+def q_resume_extract_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked resume (round-4 verdict #5, SURVEY S10/§4.4):
+    write -> damage (delete 3 manifests) -> resume -> read back.
+
+    Full partitioned extraction of docs-as-pages, then three manifests
+    are deleted so their parts look crashed-mid-commit; the second run
+    must clean + recompute EXACTLY those parts (asserted — the query
+    raises on a wrong resume) and the final table read back via
+    :func:`pipelines.resume.read_extracted` must match the same
+    whitespace-collapse oracle as extract_html_roundtrip — i.e. the
+    damage+resume cycle is invisible in the output."""
+    import shutil
+    import tempfile
+
+    from .pipelines.resume import read_extracted, run_partitioned_extract
+    from .state import manifests as mf
+
+    root = tempfile.mkdtemp(prefix="ekray_resume_")
+    pages_path = os.path.join(root, "pages")
+    out_dir = os.path.join(root, "out")
+    docs_as_pages(sf_dir).write_parquet(pages_path)
+
+    n_parts = 16
+    first = run_partitioned_extract(
+        pages_path, out_dir, n_parts=n_parts,
+        concurrency=_fixed_concurrency())
+    damaged = sorted(first["parts_written"])[:3]
+    for p in damaged:
+        os.remove(mf.manifest_path(out_dir, p))
+
+    second = run_partitioned_extract(
+        pages_path, out_dir, n_parts=n_parts,
+        concurrency=_fixed_concurrency())
+    if sorted(second["parts_cleaned"]) != damaged or \
+            sorted(second["parts_written"]) != damaged or not second["resumed"]:
+        raise AssertionError(
+            f"resume recomputed wrong parts: damaged={damaged} "
+            f"cleaned={second['parts_cleaned']} "
+            f"rewritten={second['parts_written']}")
+
+    final = read_extracted(out_dir).select_columns(["url", "text"])
+    out = final.map_batches(_doc_id_from_url, batch_format="pyarrow")
+    shutil.rmtree(pages_path, ignore_errors=True)
+    return out
+
+
 def q_segment_sales(sf_dir: str) -> "ray.data.Dataset":
     """Shuffle hash join (Dataset.join) + rollup: orders joined to their
     customer's market segment, exact cent-sums per segment.  The
@@ -2306,6 +2353,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_distributed": q_minhash_dedup_distributed,
     "minhash_dedup_writeout": q_minhash_dedup_writeout,
+    "resume_extract_roundtrip": q_resume_extract_roundtrip,
     "segment_sales": q_segment_sales,
     "media_features": q_media_features,
     "flagship_fixture": q_flagship_fixture,
@@ -2336,6 +2384,12 @@ QUERIES = {
 
 ORACLE_SQL = {
     "extract_html_roundtrip": (
+        "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
+        "FROM documents"
+    ),
+    # write -> damage -> resume -> read-back must be invisible: the
+    # final table equals the plain extraction oracle
+    "resume_extract_roundtrip": (
         "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) AS text "
         "FROM documents"
     ),
