@@ -2114,6 +2114,33 @@ def q_pagerank_links(sf_dir: str) -> "ray.data.Dataset":
     return pagerank_int(edges, n_iters=3)
 
 
+def q_pagerank_dangling(sf_dir: str) -> "ray.data.Dataset":
+    """PageRank with dangling-mass redistribution (round-4 verdict #8):
+    only docs with doc_id % 3 != 0 emit out-edges, so a third of the
+    graph is dangling destinations; each round their damped mass is
+    split evenly across all nodes (integer share formula, one bounded
+    scalar collect per round).  Same chained-CTE oracle extended with a
+    per-iteration dangling-sum CTE — still bit-exact."""
+    from .ops.pagerank import pagerank_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        did = did[did % 3 != 0]
+        src = np.tile(did, 2)
+        dst = np.concatenate([(did * 7 + 1) % n, (did * 13 + 2) % n])
+        pairs = np.unique(np.column_stack([src, dst]), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                         "dst": pa.array(pairs[:, 1], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank_int(edges, n_iters=3, redistribute_dangling=True)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2377,6 +2404,7 @@ QUERIES = {
     "dedup_canonical_urls": q_dedup_canonical_urls,
     "quality_model_scores": q_quality_model_scores,
     "pagerank_links": q_pagerank_links,
+    "pagerank_dangling": q_pagerank_dangling,
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "curate_corpus": q_curate_corpus,
     "latest_event_per_user": q_latest_event_per_user,
@@ -3180,6 +3208,23 @@ def _pagerank_oracle() -> str:
 
 
 ORACLE_SQL["pagerank_links"] = _pagerank_oracle()
+
+
+def _pagerank_dangling_oracle() -> str:
+    from .ops.pagerank import oracle_pagerank_sql
+
+    edges = (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents), "
+        "srcs AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) "
+        "SELECT src, dst FROM ("
+        "SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM srcs, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM srcs, nn)"
+    )
+    return oracle_pagerank_sql(edges, n_iters=3, redistribute_dangling=True)
+
+
+ORACLE_SQL["pagerank_dangling"] = _pagerank_dangling_oracle()
 
 ORACLE_SQL["heavy_hitter_terms"] = """
 SELECT term, est_count, rank FROM (

@@ -22,7 +22,9 @@ round (materialized — it is the big table and never changes); the rank
 table (two int64 columns) is the only thing that moves through the
 per-round join + aggregate.  K rounds cost K narrow shuffles — the
 honest distributed-PageRank price.  Dangling nodes (no out-edges)
-simply leak their damped mass, as in the uniform-teleport variant.
+simply leak their damped mass by default; ``redistribute_dangling=True``
+switches to the standard treatment (damped dangling mass split evenly
+across all nodes, integer-exact, one bounded scalar collect per round).
 
 Integer headroom: the per-edge multiply ``pr_micro * damping_micro``
 must stay below 2^63, i.e. a node's accumulated rank below ~1.08e13
@@ -44,11 +46,21 @@ from .rayfix import seed_int64 as _seed  # noqa: E402  (schema-seed guard)
 
 
 def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
-                 num_partitions: int | None = None):
+                 num_partitions: int | None = None,
+                 redistribute_dangling: bool = False):
     """(src, dst) int64 edge Dataset -> (node, pr_micro) Dataset after
     ``n_iters`` integer-exact iterations from a uniform start of
     MICRO per node (unnormalized — ranks are comparable, not a
     distribution; keeps the start state exactly representable).
+
+    ``redistribute_dangling=True`` switches to the standard
+    dangling-mass treatment: each round, the summed rank of nodes with
+    NO out-edges is damped and split evenly across all nodes —
+    ``share = (D * damping_micro // MICRO) // n_nodes`` — instead of
+    leaking.  Integer-exact like everything else (the round's dangling
+    sum D is ONE scalar aggregate per round — a bounded driver
+    collect, the honest distributed price of the redistribution; the
+    K-round loop already synchronizes per round).
 
     Contract: node ids are NON-NEGATIVE int64 (-1 is reserved as the
     schema-seed sentinel, see :func:`_seed`)."""
@@ -79,6 +91,30 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
     ).materialize()
     edges_ds = edges_ds.materialize()  # reused every round
 
+    n_nodes = 0
+    if redistribute_dangling:
+        # dangling membership is STATIC — tag it on the node table once
+        # (left join against outdeg, no per-round join for the mass)
+        def tag_dang(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            isd = pc.and_(pc.is_null(b["outdeg"]),
+                          pc.greater_equal(b["node"], 0))
+            return pa.table({
+                "node": b["node"],
+                "dang": pc.cast(isd, pa.int64()),
+            })
+
+        nodes = _seed(
+            nodes.join(outdeg, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("node",), right_on=("src",))
+            .map_batches(tag_dang, batch_format="pyarrow",
+                         zero_copy_batch=True),
+            node=-1, dang=0,
+        ).materialize()
+        n_nodes = nodes.filter(expr="node >= 0").count()
+
     pr = nodes.map_batches(
         lambda b: b.append_column(
             "pr_micro", pa.array(np.full(b.num_rows, MICRO, dtype=np.int64))),
@@ -86,6 +122,13 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
     ).materialize()
 
     for _ in range(n_iters):
+        share = 0
+        if redistribute_dangling and n_nodes:
+            # ONE bounded scalar per round: pr is materialized, the
+            # filter+sum is a narrow scan, and Python ints can't wrap
+            dang_mass = pr.filter(expr="dang == 1").sum("pr_micro") or 0
+            share = (int(dang_mass) * damping_micro // MICRO) // n_nodes
+
         ranked_src = pr.join(
             outdeg, join_type="inner", num_partitions=num_partitions,
             on=("node",), right_on=("src",),
@@ -123,14 +166,17 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
             fanned.groupby("dst").aggregate(Sum("contrib", alias_name="s")),
             dst=-1, s=0,
         )
-        def next_rank(b: pa.Table) -> pa.Table:
+        def next_rank(b: pa.Table, *, add_micro: int = share) -> pa.Table:
             import pyarrow.compute as pc
 
             s = pc.fill_null(pc.cast(b["s"], pa.int64()), 0)
-            return pa.table({
+            out = {
                 "node": b["node"],
-                "pr_micro": pc.add(pa.scalar(base, pa.int64()), s),
-            })
+                "pr_micro": pc.add(pa.scalar(base + add_micro, pa.int64()), s),
+            }
+            if redistribute_dangling:
+                out["dang"] = b["dang"]
+            return pa.table(out)
 
         pr = nodes.join(
             summed, join_type="left_outer", num_partitions=num_partitions,
@@ -139,16 +185,27 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
                       zero_copy_batch=True)
         # pr is the next round's join input: compact away empty blocks
         # (ops/rayfix.py) so the join shuffle's schema broadcast holds
-        pr = _seed(pr, node=-1, pr_micro=MICRO)
+        if redistribute_dangling:
+            pr = _seed(pr, node=-1, pr_micro=MICRO, dang=0)
+        else:
+            pr = _seed(pr, node=-1, pr_micro=MICRO)
 
     # drop the schema sentinels (node -1) from the result
-    return pr.filter(expr="node >= 0")
+    out = pr.filter(expr="node >= 0")
+    if redistribute_dangling:
+        out = out.select_columns(["node", "pr_micro"])
+    return out
 
 
 def oracle_pagerank_sql(edges_sql: str, *, n_iters: int = 3,
-                        damping_micro: int = 850_000) -> str:
+                        damping_micro: int = 850_000,
+                        redistribute_dangling: bool = False) -> str:
     """Chained-CTE DuckDB mirror of :func:`pagerank_int` — one CTE per
-    iteration, same integer floor-division formula per edge."""
+    iteration, same integer floor-division formula per edge.  With
+    ``redistribute_dangling`` each iteration adds a dangling-mass CTE
+    (sum of ranks over nodes absent from outdeg) and every node gets
+    ``(d * damping // MICRO) // n_nodes`` — the engine's exact integer
+    share formula."""
     base = MICRO - damping_micro
     ctes = [
         f"edges AS ({edges_sql})",
@@ -159,8 +216,19 @@ def oracle_pagerank_sql(edges_sql: str, *, n_iters: int = 3,
     ]
     for i in range(n_iters):
         prev, cur = f"pr{i}", f"pr{i + 1}"
+        extra = ""
+        if redistribute_dangling:
+            ctes.append(
+                f"d{i} AS (SELECT COALESCE(SUM(p.pr_micro), 0) AS d "
+                f"FROM {prev} p WHERE p.node NOT IN (SELECT src FROM outdeg))"
+            )
+            extra = (
+                f" + ((SELECT d FROM d{i}) * {damping_micro} // {MICRO})"
+                f" // (SELECT COUNT(*) FROM nodes)"
+            )
         ctes.append(
-            f"{cur} AS (SELECT n.node, CAST({base} + COALESCE(c.s, 0) AS BIGINT)"
+            f"{cur} AS (SELECT n.node, CAST({base}{extra} + COALESCE(c.s, 0)"
+            f" AS BIGINT)"
             f" AS pr_micro FROM nodes n LEFT JOIN ("
             f"SELECT e.dst, SUM((p.pr_micro * {damping_micro} // {MICRO})"
             f" // o.outdeg) AS s"

@@ -74,3 +74,51 @@ def test_overflow_guard_raises(ray_session):
                            damping_micro=2**62)
         out.take_all()
     assert "int64" in str(ei.value) or "OverflowError" in str(ei.value)
+
+
+def _ref_dangling(edges, n_iters=3, damping=850_000):
+    """Python reference for redistribute_dangling=True."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    pr = {n: MICRO for n in nodes}
+    base = MICRO - damping
+    for _ in range(n_iters):
+        d = sum(pr[n] for n in nodes if n not in outdeg)
+        share = (d * damping // MICRO) // len(nodes)
+        nxt = {n: base + share for n in nodes}
+        for a, b in edges:
+            nxt[b] += (pr[a] * damping // MICRO) // outdeg[a]
+        pr = nxt
+    return pr
+
+
+@pytest.mark.parametrize("n_iters", [1, 3])
+def test_dangling_redistribution_matches_reference(ray_session, n_iters):
+    # node 3 and 4 are dangling (destinations only)
+    edges = [(0, 1), (1, 2), (2, 3), (0, 4), (1, 4)]
+    got = _run(edges, n_iters, redistribute_dangling=True)
+    assert got == _ref_dangling(edges, n_iters)
+    # and the redistributed total strictly exceeds the leaking variant's
+    assert sum(got.values()) > sum(_run(edges, n_iters).values())
+
+
+def test_dangling_no_dangling_nodes_matches_plain(ray_session):
+    """With no dangling nodes the flag must be a no-op."""
+    edges = [(0, 1), (1, 2), (2, 0)]
+    assert _run(edges, 3, redistribute_dangling=True) == _run(edges, 3)
+
+
+def test_dangling_oracle_sql_parity(ray_session):
+    rng = np.random.default_rng(11)
+    # only even nodes emit edges -> odd destinations are dangling
+    edges = sorted({(int(a) * 2, int(b)) for a, b in
+                    zip(rng.integers(0, 15, 60), rng.integers(0, 30, 60))})
+    got = _run(edges, redistribute_dangling=True)
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = con.execute(oracle_pagerank_sql(
+        "SELECT src, dst FROM e", redistribute_dangling=True)).df()
+    assert got == {int(k): int(v)
+                   for k, v in zip(want["node"], want["pr_micro"])}
