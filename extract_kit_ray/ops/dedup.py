@@ -25,7 +25,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash64, hash128_signed, mix64, permutation_params
+from ..functions.hashing import (
+    hash64,
+    hash128_batch_signed,
+    hash128_signed,
+    mix64,
+    permutation_params,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -41,9 +47,9 @@ def add_text_hash(batch: pa.Table, text_col: str = "text", out_col: str = "text_
     10^10 docs (n^2/2^65), silently merging distinct documents; at 128
     bits the expected collision count is ~1.5e-19 (see
     ``hashing.hash128_signed``)."""
-    pairs = [hash128_signed(t or "") for t in batch[text_col].to_pylist()]
-    batch = batch.append_column(out_col, pa.array([p[0] for p in pairs], pa.int64()))
-    return batch.append_column(out_col + "2", pa.array([p[1] for p in pairs], pa.int64()))
+    h1, h2 = hash128_batch_signed(batch[text_col].to_pylist())
+    batch = batch.append_column(out_col, pa.array(h1, pa.int64()))
+    return batch.append_column(out_col + "2", pa.array(h2, pa.int64()))
 
 
 def _combine128(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:

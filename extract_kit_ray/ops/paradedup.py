@@ -43,7 +43,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import hash128_signed
+from ..functions.hashing import hash128_batch_signed
 
 _IDX_BITS = 20          # max 2^20 paragraphs per doc
 PARA_SEP = "\n\n"
@@ -52,23 +52,28 @@ PARA_SEP = "\n\n"
 def split_paragraph_hashes(batch: pa.Table, *, text_col: str,
                            key_col: str) -> pa.Table:
     """Doc rows -> NARROW paragraph rows (key, idx, h1, h2, pos) — no
-    text in the fan-out payload."""
-    keys_out, idxs, h1s, h2s = [], [], [], []
-    keys = batch[key_col].to_pylist()
-    for key, text in zip(keys, batch[text_col].to_pylist()):
-        for i, p in enumerate((text or "").split(PARA_SEP)):
-            h1, h2 = hash128_signed(p)
-            keys_out.append(key)
-            idxs.append(i)
-            h1s.append(h1)
-            h2s.append(h2)
-    keys_np = np.array(keys_out, dtype=np.int64)
-    idx_np = np.array(idxs, dtype=np.int64)
+    text in the fan-out payload.  The flat paragraph list feeds ONE
+    batched hash call (hashing.hash128_batch_signed); key fan-out and
+    within-doc indexes are vectorized repeats, no per-paragraph Python
+    appends."""
+    keys = np.asarray(batch[key_col].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    para_lists = [(t or "").split(PARA_SEP)
+                  for t in batch[text_col].to_pylist()]
+    counts = np.fromiter((len(p) for p in para_lists), dtype=np.int64,
+                         count=len(para_lists))
+    flat: list[str] = []
+    for ps in para_lists:
+        flat.extend(ps)
+    h1, h2 = hash128_batch_signed(flat)
+    keys_np = np.repeat(keys, counts)
+    starts = np.cumsum(counts) - counts
+    idx_np = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, counts)
     return pa.table({
         key_col: pa.array(keys_np),
         "idx": pa.array(idx_np),
-        "h1": pa.array(h1s, pa.int64()),
-        "h2": pa.array(h2s, pa.int64()),
+        "h1": pa.array(h1, pa.int64()),
+        "h2": pa.array(h2, pa.int64()),
         "pos": pa.array((keys_np << _IDX_BITS) | idx_np),
     })
 

@@ -409,3 +409,23 @@ def test_pool_config_from_env():
         pool_config_from_env({"EKRAY_VISION_WORKERS": "two"})
     with pytest.raises(ValueError, match=">= 1"):
         pool_config_from_env({"EKRAY_EXTRACT_WORKERS": "0"})
+
+
+def test_hash128_batch_signed_bit_identical():
+    """The batched kernel must reproduce the per-row hash exactly
+    (round-4 verdict #7: same bits, less interpreter scaffolding)."""
+    from extract_kit_ray.functions.hashing import (
+        hash128_batch_signed,
+        hash128_signed,
+    )
+
+    items = ["", "hello", "a" * 5000, b"raw-bytes", None, "unicode é中",
+             "\n\n", "tab\tsep"]
+    h1, h2 = hash128_batch_signed(items)
+    for i, t in enumerate(items):
+        assert (int(h1[i]), int(h2[i])) == hash128_signed(
+            t if t is not None else "")
+    e1, e2 = hash128_batch_signed([])
+    assert len(e1) == 0 and len(e2) == 0
+    s1, s2 = hash128_batch_signed(["x"], seed=7)
+    assert (int(s1[0]), int(s2[0])) == hash128_signed("x", seed=7)
