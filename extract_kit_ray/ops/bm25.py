@@ -58,16 +58,26 @@ def _tokens(batch_col):
 
 
 def _tf_matrix(words: pa.ListArray, n_rows: int, terms: list[str]) -> np.ndarray:
-    """(n_rows, len(terms)) int64 term-frequency matrix, fully
-    vectorized: one equality kernel + bincount per term over the
-    flattened token buffer."""
+    """(n_rows, len(terms)) int64 term-frequency matrix in ONE pass
+    over the flattened token buffer, independent of ``len(terms)``:
+    ``pc.index_in`` hash-joins every token against the term list (one
+    hash-table build + one probe pass), then a single ``np.bincount``
+    over the fused (doc, term-id) key scatters the counts.  Round 4 ran
+    an equality kernel + bincount PER TERM — linear in T, ~40x slower
+    at T=1000 (microbench in BASELINE.md)."""
+    n_terms = len(terms)
+    tf = np.zeros((n_rows, n_terms), dtype=np.int64)
+    if n_terms == 0 or n_rows == 0:
+        return tf
     flat = pc.list_flatten(words)
-    parent = words.value_parent_indices().to_numpy()
-    tf = np.zeros((n_rows, len(terms)), dtype=np.int64)
-    for j, t in enumerate(terms):
-        mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
-        if mask.any():
-            tf[:, j] = np.bincount(parent[mask], minlength=n_rows)
+    parent = words.value_parent_indices().to_numpy().astype(np.int64)
+    tid = pc.index_in(flat, value_set=pa.array(terms, pa.string()))
+    tid = tid.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    hit = tid >= 0
+    if hit.any():
+        fused = parent[hit] * n_terms + tid[hit]
+        tf = np.bincount(fused, minlength=n_rows * n_terms).astype(
+            np.int64).reshape(n_rows, n_terms)
     return tf
 
 
