@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "heavy_hitter_terms",
     "curate_corpus",
     "latest_event_per_user",
+    # round-5 additions
+    "token_budget_select",
+    "curate_webpages",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2338,6 +2338,77 @@ def q_latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
             .drop_columns(["bucket"]))
 
 
+_TOKEN_BUDGET = 10_000
+
+
+def q_token_budget_select(sf_dir: str) -> "ray.data.Dataset":
+    """Token-budget corpus selection: "take the longest documents until
+    the budget is spent" — a global ORDER BY + running SUM + cutoff via
+    the distributed prefix scan in ops/prefix.py (range-partitioned
+    sort, ONE int64 per block to the driver, budget-pruned per-block
+    cutoff tasks).  The emitted running total is part of the result, so
+    the oracle checks the scan itself, not just the selection."""
+    from .ops.prefix import budget_select
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    counted = ds.map_batches(token_count_batch,
+                             batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens_ws"])
+    return budget_select(counted, value_col="n_tokens_ws",
+                         budget=_TOKEN_BUDGET,
+                         sort_cols=["n_tokens_ws", "doc_id"],
+                         descending=[True, False], cum_col="cum_tokens")
+
+
+_WEBCURATE_MIN_TOKENS = 15
+# 16 distinct single-spaced words: survives html-escape + extraction
+# verbatim (collapse is identity on it) and passes the length filter,
+# so the planted cluster reaches the dedup stage intact
+_WEBCURATE_CONST = ("zulu yankee xray whiskey victor uniform tango sierra "
+                    "romeo quebec papa oscar november mike lima kilo")
+
+
+def _plant_web_dups(batch: pa.Table) -> pa.Table:
+    """doc_id%9==4 docs share one constant text — an exact-dup cluster
+    planted BEFORE the html wrap, so the duplicates the chain must
+    catch are duplicates of EXTRACTED text (the corpus has no organic
+    exact dups)."""
+    did = batch["doc_id"].to_numpy()
+    text = pc.if_else(pa.array(did % 9 == 4), pa.scalar(_WEBCURATE_CONST),
+                      batch["text"])
+    return batch.set_column(batch.schema.get_field_index("text"), "text", text)
+
+
+def q_curate_webpages(sf_dir: str) -> "ray.data.Dataset":
+    """The web-scale headline chain END-TO-END as one streaming
+    Dataset: html pages in -> extracted text -> token counting ->
+    length filter -> corpus-wide exact dedup -> curated docs out.
+    This is the composition the north rule describes (extraction) fused
+    with the curation the corpus role needs, SQL-checked byte-identical
+    per url: the extractor's whitespace collapse is the only text
+    transform, dedup is first-wins on the EXTRACTED bytes.
+
+    Scale shape: three narrow map stages (extract pool, id parse,
+    count) + a filter — no shuffle touches html or text; the only
+    all-to-all is exact_dedup's 24-byte (hash128, key) exchange."""
+    from .ops.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    pages = ds.map_batches(_plant_web_dups, batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+        _wrap_docs_batch, batch_format="pyarrow", zero_copy_batch=True)
+    extracted = pages.map_batches(
+        HtmlExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64, **_pool())
+    docs = extracted.map_batches(_doc_id_from_url, batch_format="pyarrow")
+    counted = docs.map_batches(token_count_batch, batch_format="pyarrow")
+    kept = counted.filter(expr=f"n_tokens_ws >= {_WEBCURATE_MIN_TOKENS}")
+    return exact_dedup(kept).select_columns(
+        ["doc_id", "text", "n_tokens_ws"])
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -2408,6 +2479,8 @@ QUERIES = {
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "curate_corpus": q_curate_corpus,
     "latest_event_per_user": q_latest_event_per_user,
+    "token_budget_select": q_token_budget_select,
+    "curate_webpages": q_curate_webpages,
 }
 
 ORACLE_SQL = {
@@ -3365,4 +3438,33 @@ ORACLE_SQL["latest_event_per_user"] = (
     "SELECT event_id, ts, user_id, event_type, value FROM events "
     "QUALIFY row_number() OVER (PARTITION BY user_id "
     "ORDER BY ts DESC, event_id DESC) = 1"
+)
+
+
+# prefix scan: the window's running total is PART of the compared
+# result, so a wrong block offset or a non-total sort order shows up
+# as a value-hash mismatch, not just a row-count drift.  CAST because
+# DuckDB widens window SUM(BIGINT) to HUGEINT (decimal128).
+ORACLE_SQL["token_budget_select"] = (
+    "WITH t AS (SELECT doc_id, len(list_filter("
+    "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens_ws "
+    "FROM documents), "
+    "c AS (SELECT doc_id, n_tokens_ws, CAST(sum(n_tokens_ws) OVER ("
+    "ORDER BY n_tokens_ws DESC, doc_id) AS BIGINT) AS cum_tokens FROM t) "
+    f"SELECT doc_id, n_tokens_ws, cum_tokens FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}"
+)
+
+
+# end-to-end web curation: extraction's whitespace collapse (the
+# byte-identity invariant), the %9==4 dup plant, the length filter and
+# first-wins dedup on EXTRACTED bytes, replayed exactly in SQL
+ORACLE_SQL["curate_webpages"] = (
+    "WITH e AS (SELECT doc_id, "
+    f"CASE WHEN doc_id % 9 = 4 THEN '{_WEBCURATE_CONST}' "
+    "ELSE regexp_replace(trim(text), '\\s+', ' ', 'g') END || chr(10) AS text "
+    "FROM documents), "
+    "t AS (SELECT doc_id, text, len(list_filter("
+    "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens_ws FROM e) "
+    f"SELECT doc_id, text, n_tokens_ws FROM t WHERE n_tokens_ws >= {_WEBCURATE_MIN_TOKENS} "
+    "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
 )
