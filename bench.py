@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "token_budget_select",
     "curate_webpages",
+    "lm_surprisal_scores",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

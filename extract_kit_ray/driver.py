@@ -2361,6 +2361,26 @@ def q_token_budget_select(sf_dir: str) -> "ray.data.Dataset":
                          descending=[True, False], cum_col="cum_tokens")
 
 
+def q_lm_surprisal_scores(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style statistical-LM quality scoring (ops/lm.py): bigram +
+    unigram counts over a deterministic 10% reference slice
+    (doc_id%10==0 — the oracle replays it), then every doc scored by
+    integer inverse-conditional-probability surprisal.  Broadcast path
+    at this scale; the join path is the same call above
+    config.broadcast_max_rows (exercised in tests/test_lm.py)."""
+    from .ops.lm import surprisal_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def ref_slice(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 10 == 0))
+
+    ref = ds.map_batches(ref_slice, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return surprisal_scores(ds, ref)
+
+
 _WEBCURATE_MIN_TOKENS = 15
 # 16 distinct single-spaced words: survives html-escape + extraction
 # verbatim (collapse is identity on it) and passes the length filter,
@@ -2481,6 +2501,7 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "token_budget_select": q_token_budget_select,
     "curate_webpages": q_curate_webpages,
+    "lm_surprisal_scores": q_lm_surprisal_scores,
 }
 
 ORACLE_SQL = {
@@ -3458,6 +3479,46 @@ ORACLE_SQL["token_budget_select"] = (
 # end-to-end web curation: extraction's whitespace collapse (the
 # byte-identity invariant), the %9==4 dup plant, the length filter and
 # first-wins dedup on EXTRACTED bytes, replayed exactly in SQL
+# bigram-LM surprisal (ops/lm.py): counts from the doc_id%10==0
+# reference slice, invp = c1(prefix) * 1e6 // c2(pair) for seen pairs,
+# OOV penalty otherwise, all-BIGINT — the unnest/join/SUM mirror of the
+# engine's index_in probes + reduceat fold.  Docs with < 2 tokens emit
+# no row on both sides (no bigram evidence).
+ORACLE_SQL["lm_surprisal_scores"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bg,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i])) AS w1
+  FROM toks),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ts) AS w FROM toks WHERE doc_id % 10 = 0)
+  GROUP BY w),
+bi AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c2
+  FROM (SELECT doc_id, bg FROM big WHERE doc_id % 10 = 0)
+  GROUP BY bg),
+scored AS (
+  SELECT b.doc_id,
+         CASE WHEN bi.c2 IS NULL OR uni.c1 IS NULL THEN 1000000000
+              ELSE uni.c1 * 1000000 // bi.c2 END AS invp
+  FROM big b
+  LEFT JOIN uni ON uni.w = b.w1
+  LEFT JOIN bi ON bi.bg = b.bg)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(invp) AS BIGINT) AS sum_invp_micro,
+       CAST(sum(invp) // count(*) AS BIGINT) AS mean_invp_micro
+FROM scored GROUP BY doc_id
+"""
+
+
 ORACLE_SQL["curate_webpages"] = (
     "WITH e AS (SELECT doc_id, "
     f"CASE WHEN doc_id % 9 = 4 THEN '{_WEBCURATE_CONST}' "
