@@ -2381,6 +2381,21 @@ def q_lm_surprisal_scores(sf_dir: str) -> "ray.data.Dataset":
     return surprisal_scores(ds, ref)
 
 
+def q_dup_window_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Substring-level duplicated-window detection (ops/dupspans.py,
+    Lee et al. 2021 "Deduplicating Training Data" windowed variant):
+    per doc, how many of its 8-token windows occur more than once
+    corpus-wide and how many token positions fall under at least one
+    such window (the duplicated-text-fraction filter signal).
+    Broadcast path at this scale; the join path is the same call above
+    config.broadcast_max_rows (exercised in tests/test_dupspans.py)."""
+    from .ops.dupspans import duplicated_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return duplicated_spans(ds, key_col="doc_id", k=8)
+
+
 _WEBCURATE_MIN_TOKENS = 15
 # 16 distinct single-spaced words: survives html-escape + extraction
 # verbatim (collapse is identity on it) and passes the length filter,
@@ -2502,6 +2517,7 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "curate_webpages": q_curate_webpages,
     "lm_surprisal_scores": q_lm_surprisal_scores,
+    "dup_window_stats": q_dup_window_stats,
 }
 
 ORACLE_SQL = {
@@ -3516,6 +3532,39 @@ SELECT doc_id,
        CAST(sum(invp) AS BIGINT) AS sum_invp_micro,
        CAST(sum(invp) // count(*) AS BIGINT) AS mean_invp_micro
 FROM scored GROUP BY doc_id
+"""
+
+
+# dup_window_stats: windows via parallel aligned unnests (same trick as
+# the lm bigram oracle); dup set = window text occurring >1 time
+# corpus-wide; coverage = DISTINCT token positions under generate_series
+# expansion of each dup window's [s, s+7] span.  The engine equates
+# windows by 128-bit hash (two blake2b token lanes combined
+# polynomially) — equal text always collides, distinct text collides
+# with p ~ 2^-128, so the string-equality oracle matches.
+ORACLE_SQL["dup_window_stats"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ts) - 7)) AS s,
+         unnest(list_transform(generate_series(1, len(ts) - 7),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS w
+  FROM toks WHERE len(ts) >= 8),
+dupw AS (SELECT w FROM wins GROUP BY w HAVING count(*) > 1),
+dw AS (SELECT doc_id, s FROM wins WHERE w IN (SELECT w FROM dupw)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+        FROM dw GROUP BY doc_id),
+cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS covered_tokens
+        FROM (SELECT doc_id, unnest(generate_series(s, s + 7)) AS p FROM dw)
+        GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(a.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens
+FROM toks t LEFT JOIN agg a USING (doc_id) LEFT JOIN cov c USING (doc_id)
 """
 
 
