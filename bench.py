@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "token_budget_select",
     "curate_webpages",
     "lm_surprisal_scores",
+    "dup_window_stats",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2025,43 +2025,88 @@ def q_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
         zero_copy_batch=True).select_columns(["doc_id", "canon_url"])
 
 
+def _plant_spread_urls(batch: pa.Table) -> pa.Table:
+    """Append a deterministic ``url`` column spreading each logical
+    page (…/Page/<doc_id%37>) across many spellings (mixed-case
+    scheme/host, default ports, utm params, fragments, trailing slash
+    varying by doc_id), so canonical groups of ~4+ docs genuinely
+    collapse.  Mirrored in SQL by :data:`_URL_PLANT_SQL`."""
+    did = batch["doc_id"].to_numpy()
+    s37 = (did % 37).astype("U4")
+    scheme = np.where(did % 2 == 1, "HtTpS", "HtTp")
+    port = np.select([did % 6 == 0, did % 6 == 1], [":80", ":443"], "")
+    slash = np.where(did % 4 == 1, "/", "")
+    q = np.select(
+        [did % 5 == 2, did % 5 == 3, did % 5 == 4],
+        ["?utm_source=news&ref=1", "?utm_x=1", "?ref=1"], "")
+    frag = np.where(did % 7 == 4, "#Top", "")
+    add = np.char.add
+    url = add(add(add(add(add(add(scheme, "://WWW.Site.EXample"), port),
+                          "/Page/"), s37), slash), add(q, frag))
+    return batch.append_column("url", pa.array(url.tolist(), pa.string()))
+
+
+_URL_PLANT_SQL = (
+    "CASE WHEN doc_id % 2 = 1 THEN 'HtTpS' ELSE 'HtTp' END || "
+    "'://WWW.Site.EXample' || "
+    "CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 1 "
+    "THEN ':443' ELSE '' END || '/Page/' || CAST(doc_id % 37 AS VARCHAR) || "
+    "CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 2 THEN '?utm_source=news&ref=1' "
+    "WHEN doc_id % 5 = 3 THEN '?utm_x=1' "
+    "WHEN doc_id % 5 = 4 THEN '?ref=1' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 4 THEN '#Top' ELSE '' END"
+)
+
+
 def q_dedup_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
     """URL-keyed dedup — THE web-crawl dedup primitive: canonicalize
     (ops/urlnorm.py fixed RE2 sequence) then keep the FIRST doc per
     canonical URL via the same exact_dedup operator keyed on the
     canonical string (content-hash groupby, min-key wins) — operator
-    composition across family lines.  The plant spreads each logical
-    page (…/Page/<doc_id%37>) across many spellings (mixed-case
-    scheme/host, default ports, utm params, fragments, trailing slash
-    varying by doc_id), so canonical groups of ~4+ docs genuinely
-    collapse.  Scale shape: stateless canonicalize pass, then dedup's
-    compact-key shuffle — URL strings never move after hashing."""
+    composition across family lines.  Scale shape: stateless
+    canonicalize pass, then dedup's compact-key shuffle — URL strings
+    never move after hashing."""
     from .ops.dedup import exact_dedup
     from .ops.urlnorm import canonicalize_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
-
-    def plant(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy()
-        s37 = (did % 37).astype("U4")
-        scheme = np.where(did % 2 == 1, "HtTpS", "HtTp")
-        port = np.select([did % 6 == 0, did % 6 == 1], [":80", ":443"], "")
-        slash = np.where(did % 4 == 1, "/", "")
-        q = np.select(
-            [did % 5 == 2, did % 5 == 3, did % 5 == 4],
-            ["?utm_source=news&ref=1", "?utm_x=1", "?ref=1"], "")
-        frag = np.where(did % 7 == 4, "#Top", "")
-        add = np.char.add
-        url = add(add(add(add(add(add(scheme, "://WWW.Site.EXample"), port),
-                              "/Page/"), s37), slash), add(q, frag))
-        return batch.append_column("url", pa.array(url.tolist(), pa.string()))
-
-    canon = ds.map_batches(plant, batch_format="pyarrow",
+    canon = ds.map_batches(_plant_spread_urls, batch_format="pyarrow",
                            zero_copy_batch=True).map_batches(
         canonicalize_batch, batch_format="pyarrow",
         zero_copy_batch=True).select_columns(["doc_id", "canon_url"])
     return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
+
+
+def q_keep_best_page_per_url(sf_dir: str) -> "ray.data.Dataset":
+    """Quality-aware canonical selection — the re-crawl dedup rule real
+    curation uses: many captures of one logical page (the URL-spelling
+    plant above), each capture carrying its own text, and the BEST
+    capture wins, not the first.  Composition: canonicalize
+    (ops/urlnorm) -> broadcast integer quality scoring (ops/classify,
+    canon_url rides through the scorer) -> distributed group-wise
+    argmax (ops/keepbest: map-side combine, bucket shuffle, no global
+    sort) on (score desc, doc_id asc) — a total order, so the winner
+    is unique and the row_number() oracle matches exactly."""
+    from .ops.classify import model_weights, score_documents
+    from .ops.keepbest import keep_best
+    from .ops.urlnorm import canonicalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    canon = ds.map_batches(_plant_spread_urls, batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+        canonicalize_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+    scored = score_documents(canon, model_weights(_QMODEL_TERMS),
+                             bias_micro=_QMODEL_BIAS,
+                             keep_cols=["canon_url"])
+    best = keep_best(scored.select_columns(
+        ["doc_id", "canon_url", "score_micro"]),
+        key_col="canon_url", order_cols=["score_micro", "doc_id"],
+        descending=[True, False])
+    return best.select_columns(["doc_id", "canon_url", "score_micro"])
 
 
 def q_heavy_hitter_terms(sf_dir: str) -> pd.DataFrame:
@@ -2518,6 +2563,7 @@ QUERIES = {
     "curate_webpages": q_curate_webpages,
     "lm_surprisal_scores": q_lm_surprisal_scores,
     "dup_window_stats": q_dup_window_stats,
+    "keep_best_page_per_url": q_keep_best_page_per_url,
 }
 
 ORACLE_SQL = {
@@ -3269,19 +3315,8 @@ ORACLE_SQL["canonical_urls"] = _urlnorm_oracle()
 def _dedup_canon_oracle() -> str:
     from .ops.urlnorm import oracle_canonicalize_expr
 
-    plant = (
-        "CASE WHEN doc_id % 2 = 1 THEN 'HtTpS' ELSE 'HtTp' END || "
-        "'://WWW.Site.EXample' || "
-        "CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 1 "
-        "THEN ':443' ELSE '' END || '/Page/' || CAST(doc_id % 37 AS VARCHAR) || "
-        "CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END || "
-        "CASE WHEN doc_id % 5 = 2 THEN '?utm_source=news&ref=1' "
-        "WHEN doc_id % 5 = 3 THEN '?utm_x=1' "
-        "WHEN doc_id % 5 = 4 THEN '?ref=1' ELSE '' END || "
-        "CASE WHEN doc_id % 7 = 4 THEN '#Top' ELSE '' END"
-    )
     return (
-        f"WITH aug AS (SELECT doc_id, {plant} AS u FROM documents), "
+        f"WITH aug AS (SELECT doc_id, {_URL_PLANT_SQL} AS u FROM documents), "
         f"canon AS (SELECT doc_id, {oracle_canonicalize_expr('u')} AS canon_url "
         "FROM aug) "
         "SELECT MIN(doc_id) AS doc_id, canon_url FROM canon GROUP BY canon_url"
@@ -3289,6 +3324,27 @@ def _dedup_canon_oracle() -> str:
 
 
 ORACLE_SQL["dedup_canonical_urls"] = _dedup_canon_oracle()
+
+
+def _keep_best_url_oracle() -> str:
+    from .ops.classify import model_weights, oracle_score_sql
+    from .ops.urlnorm import oracle_canonicalize_expr
+
+    score = oracle_score_sql(model_weights(_QMODEL_TERMS),
+                             bias_micro=_QMODEL_BIAS)
+    return (
+        f"WITH scores AS ({score}), "
+        f"aug AS (SELECT doc_id, {_URL_PLANT_SQL} AS u FROM documents), "
+        f"canon AS (SELECT doc_id, {oracle_canonicalize_expr('u')} AS canon_url "
+        "FROM aug) "
+        "SELECT c.doc_id, c.canon_url, s.score_micro "
+        "FROM canon c JOIN scores s USING (doc_id) "
+        "QUALIFY row_number() OVER (PARTITION BY c.canon_url "
+        "ORDER BY s.score_micro DESC, c.doc_id) = 1"
+    )
+
+
+ORACLE_SQL["keep_best_page_per_url"] = _keep_best_url_oracle()
 
 
 def _qmodel_oracle() -> str:

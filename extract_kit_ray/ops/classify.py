@@ -42,7 +42,8 @@ class LinearScorer:
 
     def __init__(self, weights_ref=None, *, weights: dict[str, int] | None = None,
                  bias_micro: int = 0, text_col: str = "text",
-                 key_col: str = "doc_id"):
+                 key_col: str = "doc_id",
+                 keep_cols: list[str] | None = None):
         if weights is None:
             import ray as _r
 
@@ -52,23 +53,29 @@ class LinearScorer:
         self.bias = int(bias_micro)
         self.text_col = text_col
         self.key_col = key_col
+        self.keep_cols = list(keep_cols or [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         words, _dl = _tokens(batch[self.text_col])
         tf = _tf_matrix(words, len(batch), self.terms)
         scores = tf @ self.w + self.bias
-        return pa.table({
+        out = pa.table({
             self.key_col: batch[self.key_col],
             "score_micro": pa.array(scores, pa.int64()),
             "keep": pa.array(scores > 0),
         })
+        for c in self.keep_cols:
+            out = out.append_column(c, batch[c])
+        return out
 
 
 def score_documents(ds, weights: dict[str, int], *, bias_micro: int = 0,
                     text_col: str = "text", key_col: str = "doc_id",
+                    keep_cols: list[str] | None = None,
                     concurrency=4, batch_size: int | None = None):
-    """documents Dataset -> (key, score_micro, keep) Dataset.  Weights
-    ship through the object store once (``ray.put``), not per batch."""
+    """documents Dataset -> (key, score_micro, keep[, keep_cols...])
+    Dataset.  Weights ship through the object store once (``ray.put``),
+    not per batch."""
     import ray as _ray
 
     ref = _ray.put(dict(weights))
@@ -76,7 +83,8 @@ def score_documents(ds, weights: dict[str, int], *, bias_micro: int = 0,
         LinearScorer,
         fn_constructor_args=(ref,),
         fn_constructor_kwargs={"bias_micro": bias_micro,
-                               "text_col": text_col, "key_col": key_col},
+                               "text_col": text_col, "key_col": key_col,
+                               "keep_cols": keep_cols},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
         **({"batch_size": batch_size} if batch_size else {}),
