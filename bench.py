@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "curate_webpages",
     "lm_surprisal_scores",
     "dup_window_stats",
+    "keep_best_page_per_url",
+    "incremental_new_docs",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

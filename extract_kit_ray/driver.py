@@ -2079,6 +2079,32 @@ def q_dedup_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
     return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
 
 
+def q_incremental_new_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental cross-snapshot dedup against a PERSISTED exact hash
+    index (ops/incremental.py) — the crawl-ingestion shape: snapshot A
+    (doc_id%3==0) is ingested and its 128-bit content hashes written as
+    a parquet index (16 bytes/doc); snapshot B (the full table) is then
+    probed against the index and only genuinely new documents survive.
+    Broadcast path at this scale; the join path is the same call above
+    config.broadcast_max_rows (tests/test_incremental.py).  The Bloom
+    sketch query (bloom_cross_run_dups) is the probabilistic sibling;
+    this one is exact."""
+    import tempfile
+
+    from .ops.incremental import build_hash_index, dedup_against_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def snap_a(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 3 == 0))
+
+    index_dir = tempfile.mkdtemp(prefix="ekray_hash_index_")
+    build_hash_index(ds.map_batches(snap_a, batch_format="pyarrow",
+                                    zero_copy_batch=True), index_dir)
+    new = dedup_against_index(ds, index_dir)
+    return new.select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
 def q_keep_best_page_per_url(sf_dir: str) -> "ray.data.Dataset":
     """Quality-aware canonical selection — the re-crawl dedup rule real
     curation uses: many captures of one logical page (the URL-spelling
@@ -2564,6 +2590,7 @@ QUERIES = {
     "lm_surprisal_scores": q_lm_surprisal_scores,
     "dup_window_stats": q_dup_window_stats,
     "keep_best_page_per_url": q_keep_best_page_per_url,
+    "incremental_new_docs": q_incremental_new_docs,
 }
 
 ORACLE_SQL = {
@@ -3345,6 +3372,14 @@ def _keep_best_url_oracle() -> str:
 
 
 ORACLE_SQL["keep_best_page_per_url"] = _keep_best_url_oracle()
+
+# incremental_new_docs: exact anti-semijoin by content against the
+# indexed snapshot (doc_id%3==0).  The engine equates docs by 128-bit
+# blake2b hash; the text-equality oracle matches (collision p ~2^-128).
+ORACLE_SQL["incremental_new_docs"] = (
+    "SELECT doc_id, lang, source, n_chars FROM documents "
+    "WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)"
+)
 
 
 def _qmodel_oracle() -> str:

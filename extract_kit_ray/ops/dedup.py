@@ -59,6 +59,43 @@ def _combine128(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
                      + h2.astype(np.uint64))
 
 
+class KeySet128:
+    """Vectorized broadcast 128-bit key membership (the read side of
+    :class:`_DupLookup`, without the payload): sorted combined-key
+    array, ONE ``np.searchsorted`` + two gathers per probe batch.
+    64-bit combined-key collisions between DISTINCT members are
+    detected at build time and resolved through a sidecar set, so
+    membership stays exact in the 128-bit key space.  Shared by
+    ops/dupspans (dup-window probes) and ops/incremental (persisted
+    hash-index probes)."""
+
+    def __init__(self, h1: np.ndarray, h2: np.ndarray):
+        c = _combine128(h1, h2)
+        order = np.argsort(c, kind="stable")
+        self.c = c[order]
+        self.h1 = h1[order]
+        self.h2 = h2[order]
+        self.collide: dict[int, set] = {}
+        for i in np.flatnonzero(self.c[1:] == self.c[:-1]):
+            for j in (i, i + 1):
+                self.collide.setdefault(int(self.c[j]), set()).add(
+                    (int(self.h1[j]), int(self.h2[j])))
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(h1), dtype=bool)
+        if len(self.c) == 0 or len(h1) == 0:
+            return out
+        bc = _combine128(h1, h2)
+        pi = np.minimum(np.searchsorted(self.c, bc), len(self.c) - 1)
+        cand = self.c[pi] == bc
+        out = cand & (self.h1[pi] == h1) & (self.h2[pi] == h2)
+        if self.collide:
+            for i in np.flatnonzero(cand & ~out):
+                if (int(h1[i]), int(h2[i])) in self.collide.get(int(bc[i]), ()):
+                    out[i] = True
+        return out
+
+
 class _DupLookup:
     """Vectorized broadcast (h1, h2) -> min_key lookup for the exact-dedup
     keep filter.  Build once driver-side (sorted combined-key arrays, a

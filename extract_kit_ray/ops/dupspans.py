@@ -50,7 +50,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .bm25 import _tokens
-from .dedup import _collect_agg, _combine128
+from .dedup import KeySet128, _collect_agg, _combine128
 from ..functions.hashing import hash128_batch_signed
 
 # distinct odd multipliers per lane (splitmix64 / Weyl constants); the
@@ -99,39 +99,9 @@ def _window_hashes(words: pa.ListArray, k: int):
             parent_flat, n)
 
 
-class _KeySet:
-    """Vectorized broadcast 128-bit key membership (the read side of
-    :class:`ops.dedup._DupLookup`, without the payload): sorted
-    combined-key array, ONE ``np.searchsorted`` + two gathers per
-    probe batch.  64-bit combined-key collisions between DISTINCT
-    members are detected at build time and resolved through a sidecar
-    set, so membership stays exact in the 128-bit key space."""
-
-    def __init__(self, h1: np.ndarray, h2: np.ndarray):
-        c = _combine128(h1, h2)
-        order = np.argsort(c, kind="stable")
-        self.c = c[order]
-        self.h1 = h1[order]
-        self.h2 = h2[order]
-        self.collide: dict[int, set] = {}
-        for i in np.flatnonzero(self.c[1:] == self.c[:-1]):
-            for j in (i, i + 1):
-                self.collide.setdefault(int(self.c[j]), set()).add(
-                    (int(self.h1[j]), int(self.h2[j])))
-
-    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(h1), dtype=bool)
-        if len(self.c) == 0 or len(h1) == 0:
-            return out
-        bc = _combine128(h1, h2)
-        pi = np.minimum(np.searchsorted(self.c, bc), len(self.c) - 1)
-        cand = self.c[pi] == bc
-        out = cand & (self.h1[pi] == h1) & (self.h2[pi] == h2)
-        if self.collide:
-            for i in np.flatnonzero(cand & ~out):
-                if (int(h1[i]), int(h2[i])) in self.collide.get(int(bc[i]), ()):
-                    out[i] = True
-        return out
+# re-export: the membership probe lives next to its write side in
+# ops/dedup (KeySet128); dupspans and incremental both broadcast it
+_KeySet = KeySet128
 
 
 def _census_partial(batch: pa.Table, *, text_col: str, k: int) -> pa.Table:
