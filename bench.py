@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dup_window_stats",
     "keep_best_page_per_url",
     "incremental_new_docs",
+    "domain_balanced_sample",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2079,6 +2079,28 @@ def q_dedup_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
     return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
 
 
+_QUOTA_CHARS = 7_200  # straddles the per-source char totals at test scales
+
+
+def q_domain_balanced_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Domain-mixture rebalancing (ops/sampling.quota_balanced_sample,
+    the Pile/Dolma recipe): cap every source's expected total chars at
+    a quota by deterministic hash down-sampling — under-quota sources
+    keep everything, over-quota sources keep ~quota worth.  One narrow
+    groupby(source).sum produces the per-domain totals; the cut map
+    broadcasts into a streaming filter (join path above the threshold,
+    tests/test_ops_ray.py).  Selection replays exactly: the oracle
+    recomputes cut_g = quota * 2^32 // W_g in HUGEINT and the same
+    Knuth hash per doc."""
+    from .ops.sampling import quota_balanced_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return quota_balanced_sample(ds, group_col="source", key_col="doc_id",
+                                 weight_col="n_chars",
+                                 target_per_group=_QUOTA_CHARS)
+
+
 def q_incremental_new_docs(sf_dir: str) -> "ray.data.Dataset":
     """Incremental cross-snapshot dedup against a PERSISTED exact hash
     index (ops/incremental.py) — the crawl-ingestion shape: snapshot A
@@ -2591,6 +2613,7 @@ QUERIES = {
     "dup_window_stats": q_dup_window_stats,
     "keep_best_page_per_url": q_keep_best_page_per_url,
     "incremental_new_docs": q_incremental_new_docs,
+    "domain_balanced_sample": q_domain_balanced_sample,
 }
 
 ORACLE_SQL = {
@@ -3380,6 +3403,25 @@ ORACLE_SQL["incremental_new_docs"] = (
     "SELECT doc_id, lang, source, n_chars FROM documents "
     "WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)"
 )
+
+
+def _domain_quota_oracle() -> str:
+    from .ops.sampling import SAMPLE_HASH_MOD, sample_hash_sql
+
+    return (
+        "WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS wg "
+        "FROM documents GROUP BY source), "
+        "cut AS (SELECT source, "
+        f"CASE WHEN wg <= {_QUOTA_CHARS} THEN CAST({SAMPLE_HASH_MOD} AS HUGEINT) "
+        f"ELSE (CAST({_QUOTA_CHARS} AS HUGEINT) * {SAMPLE_HASH_MOD}) // wg END "
+        "AS cut FROM w) "
+        "SELECT d.doc_id, d.source, d.n_chars "
+        "FROM documents d JOIN cut c ON d.source = c.source "
+        f"WHERE {sample_hash_sql('d.doc_id')} < c.cut"
+    )
+
+
+ORACLE_SQL["domain_balanced_sample"] = _domain_quota_oracle()
 
 
 def _qmodel_oracle() -> str:

@@ -72,6 +72,96 @@ def stratified_sample(ds, *, group_col: str, key_col: str, n_per_group: int):
                                                   batch_format="pandas")
 
 
+def quota_balanced_sample(ds, *, group_col: str, key_col: str,
+                          weight_col: str, target_per_group: int,
+                          broadcast_max: int | None = None,
+                          num_partitions: int | None = None):
+    """Domain-mixture rebalancing (the Pile/Dolma recipe): cap every
+    group's expected total ``weight_col`` at ``target_per_group`` by
+    deterministic down-sampling; groups already under the quota keep
+    everything.
+
+    Per group g with total weight W_g the keep cut is
+    ``cut_g = 2^32            if W_g <= target``
+    ``cut_g = target * 2^32 // W_g   otherwise``  (integer floor), and
+    a row survives iff ``sample_hash(key) < cut_g`` — so the kept
+    rows' expected weight is ~target, selection is reproducible
+    across runs/nodes, and the oracle replays it exactly (HUGEINT for
+    the 2^32-scaled product).
+
+    Scale shape: ONE narrow groupby(group).sum(weight) (map-side
+    combined by Ray's aggregate) produces the per-group totals —
+    bounded by the number of domains; under
+    ``config.broadcast_max_rows`` the cut map broadcasts into a
+    streaming filter (no second shuffle), above it the cut table joins
+    on the group key (the only shuffle that touches data rows)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..config import broadcast_max_rows, resolve_num_partitions
+
+    if target_per_group < 0:
+        raise ValueError("target_per_group must be >= 0")
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
+    num_partitions = resolve_num_partitions(num_partitions)
+
+    totals = (ds.select_columns([group_col, weight_col])
+              .groupby(group_col)
+              .aggregate(Sum(weight_col, alias_name="wg"))
+              .materialize())  # bounded by distinct domains
+    n_groups = totals.count()
+
+    def cut_of(wg: int) -> int:
+        if wg <= target_per_group:
+            return SAMPLE_HASH_MOD
+        return (target_per_group * SAMPLE_HASH_MOD) // wg
+
+    if n_groups <= broadcast_max:
+        cuts = {r[group_col]: cut_of(int(r["wg"]))
+                for r in totals.take_all()}
+
+        def keep(batch: pa.Table) -> pa.Table:
+            h = sample_hash(batch[key_col].to_numpy())
+            cut = np.array([cuts[g] for g in batch[group_col].to_pylist()],
+                           dtype=np.uint64)
+            return batch.filter(pa.array(h < cut))
+
+        return ds.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # join fallback: cut table rides the group key; rows ship once
+    from .rayfix import seed_join_side
+
+    def to_cuts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cut_group": batch[group_col],
+            "cut": pa.array([cut_of(int(w)) for w in
+                             batch["wg"].to_pylist()], pa.int64()),
+        })
+
+    cut_side = seed_join_side(
+        totals.map_batches(to_cuts, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        pa.table({"cut_group": pa.array(["\x00__ekray_sentinel__"],
+                                        pa.string()),
+                  "cut": pa.array([None], pa.int64())}))
+    joined = ds.join(cut_side, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=(group_col,), right_on=("cut_group",))
+
+    def keep_joined(batch: pa.Table) -> pa.Table:
+        # every real group has a cut row; a null cut (sentinel match)
+        # fills to 0 -> h < 0 never holds -> filtered
+        cut = pc.fill_null(batch["cut"], 0).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h = sample_hash(batch[key_col].to_numpy())
+        return batch.filter(pa.array(h < cut)).drop_columns(["cut"])
+
+    return joined.map_batches(keep_joined, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def sample_fraction(ds, *, key_col: str, fraction: float):
     """Keep rows whose sample hash falls under ``fraction`` of the hash
     space — a deterministic Bernoulli-style corpus sample (no shuffle,

@@ -606,6 +606,59 @@ def test_sample_fraction_deterministic(ray_session):
     assert 0.2 < len(a) / 2000 < 0.4  # Bernoulli-style rate
 
 
+def _quota_ref(df, target):
+    """Single-process replay of quota_balanced_sample's keep rule."""
+    from extract_kit_ray.ops.sampling import SAMPLE_HASH_MOD, sample_hash
+
+    kept = []
+    for g, grp in df.groupby("g"):
+        wg = int(grp["w"].sum())
+        cut = (SAMPLE_HASH_MOD if wg <= target
+               else (target * SAMPLE_HASH_MOD) // wg)
+        h = sample_hash(grp["doc_id"].to_numpy(np.int64))
+        kept.extend(grp["doc_id"].to_numpy()[h < cut].tolist())
+    return sorted(kept)
+
+
+@pytest.mark.parametrize("broadcast_max", [None, 0])
+def test_quota_balanced_sample_matches_reference(ray_session,
+                                                 broadcast_max):
+    import ray.data
+
+    from extract_kit_ray.ops.sampling import quota_balanced_sample
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(600, dtype=np.int64),
+        "g": np.repeat(["small", "big", "huge"], 200),
+        "w": rng.integers(1, 50, 600),
+    })
+    # make group weights straddle the quota
+    df.loc[df.g == "big", "w"] += 40
+    df.loc[df.g == "huge", "w"] += 400
+    target = int(df[df.g == "small"]["w"].sum()) + 100  # small under quota
+    kwargs = {} if broadcast_max is None else {"broadcast_max": broadcast_max}
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = quota_balanced_sample(ds, group_col="g", key_col="doc_id",
+                                weight_col="w", target_per_group=target,
+                                **kwargs).to_pandas()
+    assert sorted(out["doc_id"]) == _quota_ref(df, target)
+    # under-quota group keeps everything; over-quota groups shrink
+    assert (out["g"] == "small").sum() == 200
+    assert (out["g"] == "huge").sum() < 200
+    # expected kept weight per over-quota group lands near the quota
+    huge_kept = out.loc[out.g == "huge", "w"].sum()
+    assert huge_kept < 2 * target
+
+
+def test_quota_target_guard():
+    from extract_kit_ray.ops.sampling import quota_balanced_sample
+
+    with pytest.raises(ValueError):
+        quota_balanced_sample(None, group_col="g", key_col="k",
+                              weight_col="w", target_per_group=-1)
+
+
 # ---------------------------------------------------------------------------
 # hot-bucket cap (LSH / SimHash overflow handling)
 # ---------------------------------------------------------------------------
