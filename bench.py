@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "keep_best_page_per_url",
     "incremental_new_docs",
     "domain_balanced_sample",
+    "strip_dup_windows",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2079,6 +2079,20 @@ def q_dedup_canonical_urls(sf_dir: str) -> "ray.data.Dataset":
     return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
 
 
+def q_strip_dup_windows(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus cleaning by substring-level dedup (ops/dupspans.
+    strip_duplicated_spans): every token under a duplicated 8-token
+    window is removed and the doc rebuilt from the survivors — the
+    emit-the-cleaned-corpus counterpart of dup_window_stats.  Text
+    never shuffles on the broadcast path (one streaming rebuild map);
+    byte-exact against the string_agg oracle."""
+    from .ops.dupspans import strip_duplicated_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return strip_duplicated_spans(ds, key_col="doc_id", k=8)
+
+
 _QUOTA_CHARS = 7_200  # straddles the per-source char totals at test scales
 
 
@@ -2614,6 +2628,7 @@ QUERIES = {
     "keep_best_page_per_url": q_keep_best_page_per_url,
     "incremental_new_docs": q_incremental_new_docs,
     "domain_balanced_sample": q_domain_balanced_sample,
+    "strip_dup_windows": q_strip_dup_windows,
 }
 
 ORACLE_SQL = {
@@ -3422,6 +3437,39 @@ def _domain_quota_oracle() -> str:
 
 
 ORACLE_SQL["domain_balanced_sample"] = _domain_quota_oracle()
+
+# strip_dup_windows: same window census as dup_window_stats, then the
+# rebuilt doc = non-covered tokens re-joined in position order
+# (string_agg ORDER BY p); all-covered and empty docs COALESCE to ''.
+ORACLE_SQL["strip_dup_windows"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+  FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ts) - 7)) AS s,
+         unnest(list_transform(generate_series(1, len(ts) - 7),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS w
+  FROM toks WHERE len(ts) >= 8),
+dupw AS (SELECT w FROM wins GROUP BY w HAVING count(*) > 1),
+dw AS (SELECT doc_id, s FROM wins WHERE w IN (SELECT w FROM dupw)),
+cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s + 7)) AS p
+        FROM dw),
+pos AS (SELECT doc_id, unnest(ts) AS tok,
+               unnest(generate_series(1, len(ts))) AS p
+        FROM toks),
+keep AS (SELECT pos.doc_id, pos.tok, pos.p
+         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         WHERE cov.p IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM keep GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.text, '') AS text,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def _qmodel_oracle() -> str:

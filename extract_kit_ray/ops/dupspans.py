@@ -209,6 +209,181 @@ def _union_len(starts: list, k: int) -> int:
     return int(np.minimum(np.diff(s), k).sum() + k)
 
 
+def _covered_mask(batch: pa.Table, *, text_col: str, k: int,
+                  keyset: KeySet128):
+    """Shared probe+union: (words, dl, parent_flat, covered bool mask
+    over the batch's flat token axis)."""
+    words, dl = _tokens(batch[text_col])
+    starts, parent_w, wh1, wh2, parent_flat, n_flat = _window_hashes(words, k)
+    member = keyset.contains(wh1, wh2)
+    dup_starts = starts[member]
+    if len(dup_starts):
+        delta = (np.bincount(dup_starts, minlength=n_flat + k)
+                 - np.bincount(dup_starts + k, minlength=n_flat + k))
+        covered = np.cumsum(delta[:n_flat]) > 0
+    else:
+        covered = np.zeros(n_flat, dtype=bool)
+    return words, dl, parent_flat, parent_w[member], dup_starts, covered
+
+
+def _rebuild_from_mask(batch: pa.Table, *, text_col: str, key_col: str,
+                       words, dl, parent_flat, covered) -> pa.Table:
+    """Join each doc's NON-covered tokens back with single spaces —
+    one flat filter + one list rebuild, no per-token Python."""
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keepers = ~covered
+    # empty-doc convention: _tokens leaves [''] for blank docs (dl==0);
+    # drop those tokens so the rebuilt text is '' not a stray token
+    if len(dl):
+        blank_doc = np.flatnonzero(dl == 0)
+        if len(blank_doc):
+            keepers &= ~np.isin(parent_flat, blank_doc)
+    kept_flat = flat.filter(pa.array(keepers))
+    kept_parent = parent_flat[keepers]
+    n_rows = len(batch)
+    counts = np.bincount(kept_parent, minlength=n_rows)[:n_rows]
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    kept_lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                          kept_flat.combine_chunks()
+                                          if isinstance(kept_flat,
+                                                        pa.ChunkedArray)
+                                          else kept_flat)
+    text_out = pc.binary_join(kept_lists, " ")
+    return pa.table({
+        key_col: batch[key_col],
+        "text": text_out,
+        "n_tokens": pa.array(dl, pa.int64()),
+        "n_kept": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def strip_duplicated_spans(ds, *, text_col: str = "text",
+                           key_col: str = "doc_id", k: int = 8,
+                           broadcast_max: int | None = None,
+                           num_partitions: int | None = None):
+    """Rebuild every document with its duplicated-window tokens REMOVED
+    — the corpus-cleaning counterpart of :func:`duplicated_spans`
+    (stats for filtering; this one emits the stripped text).
+
+    Removal rule: a token is dropped iff it lies under at least one
+    k-token window whose text occurs >1 time corpus-wide — ALL
+    occurrences go, the aggressive variant (Lee et al.'s suffix-array
+    tool keeps one canonical copy; with overlapping fixed-k windows a
+    global keep-one assignment is ill-defined, and for boilerplate
+    removal dropping every occurrence is the common production
+    choice).  Returns (key, text, n_tokens, n_kept).
+
+    Scale shape matches duplicated_spans: the window census shuffle
+    moves 24-byte partials; under ``config.broadcast_max_rows`` the
+    rebuild is one streaming map (text never shuffles), above it the
+    per-doc dup-start lists ride a left join onto the docs
+    (comma-encoded like ops/paradedup — Acero rejects list payloads),
+    shipping text exactly once."""
+    from ..config import broadcast_max_rows, resolve_num_partitions
+    from .rayfix import seed_join_side
+
+    if k < 2:
+        raise ValueError("strip_duplicated_spans requires k >= 2")
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
+    num_partitions = resolve_num_partitions(num_partitions)
+
+    dup_keys = dup_window_keys(ds, text_col=text_col, k=k).materialize()
+    n_dup = dup_keys.count()
+
+    if n_dup <= broadcast_max:
+        if n_dup:
+            dup_rows = dup_keys.to_pandas()
+            h1 = dup_rows["wh1"].to_numpy().astype(np.int64)
+            h2 = dup_rows["wh2"].to_numpy().astype(np.int64)
+        else:
+            h1 = h2 = np.array([], np.int64)
+        keyset = KeySet128(h1, h2)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            words, dl, parent_flat, _pw, _ds_, covered = _covered_mask(
+                batch, text_col=text_col, k=k, keyset=keyset)
+            return _rebuild_from_mask(batch, text_col=text_col,
+                                      key_col=key_col, words=words, dl=dl,
+                                      parent_flat=parent_flat,
+                                      covered=covered)
+
+        return ds.map_batches(rebuild, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # join fallback: per-doc dup-start lists (narrow) left-join onto
+    # the docs; text ships once
+    fan = ds.map_batches(
+        _fanout, fn_kwargs={"text_col": text_col, "key_col": key_col,
+                            "k": k},
+        batch_format="pyarrow", zero_copy_batch=True)
+    seeded = seed_join_side(
+        dup_keys,
+        pa.table({"wh1": pa.array([0], pa.int64()),
+                  "wh2": pa.array([0], pa.int64()),
+                  "n_occ": pa.array([None], pa.int64())}))
+    hits = fan.join(seeded, join_type="inner",
+                    num_partitions=num_partitions, on=("wh1", "wh2"))
+    hits = hits.map_batches(
+        lambda b: b.filter(pc.is_valid(b["n_occ"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    starts_per_doc = (hits
+                      .map_batches(lambda b: b.select([key_col, "s"]),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                      .groupby(key_col)
+                      .aggregate(_collect_agg("s", alias="starts")))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "dup_key": batch[key_col],
+            "starts": pa.array([",".join(map(str, s)) for s in
+                                batch["starts"].to_pylist()], pa.string()),
+        })
+
+    enc = seed_join_side(
+        starts_per_doc.map_batches(encode, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+        pa.table({"dup_key": pa.array([-1], pa.int64()),
+                  "starts": pa.array([""], pa.string())}))
+    joined = ds.join(enc, join_type="left_outer",
+                     num_partitions=num_partitions,
+                     on=(key_col,), right_on=("dup_key",))
+
+    def rebuild_joined(batch: pa.Table) -> pa.Table:
+        words, dl = _tokens(batch[text_col])
+        flat_len = len(pc.list_flatten(words))
+        parent_flat = (words.value_parent_indices().to_numpy()
+                       .astype(np.int64) if flat_len else
+                       np.array([], np.int64))
+        doc_first = np.searchsorted(
+            parent_flat, np.arange(len(batch), dtype=np.int64), side="left")
+        covered = np.zeros(flat_len, dtype=bool)
+        starts_col = batch["starts"].to_pylist() if "starts" in \
+            batch.column_names else [None] * len(batch)
+        dup_starts = []
+        for row, enc_s in enumerate(starts_col):
+            if not enc_s:
+                continue
+            base = doc_first[row]
+            dup_starts.extend(base + int(x) for x in enc_s.split(","))
+        if dup_starts:
+            st = np.asarray(dup_starts, dtype=np.int64)
+            delta = (np.bincount(st, minlength=flat_len + k)
+                     - np.bincount(st + k, minlength=flat_len + k))
+            covered = np.cumsum(delta[:flat_len]) > 0
+        out = _rebuild_from_mask(batch, text_col=text_col, key_col=key_col,
+                                 words=words, dl=dl,
+                                 parent_flat=parent_flat, covered=covered)
+        return out
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def duplicated_spans(ds, *, text_col: str = "text", key_col: str = "doc_id",
                      k: int = 8, broadcast_max: int | None = None,
                      num_partitions: int | None = None):

@@ -118,3 +118,54 @@ def test_overlapping_windows_union_not_sum(ray_session):
 def test_k_guard():
     with pytest.raises(ValueError):
         duplicated_spans(None, k=1)
+    from extract_kit_ray.ops.dupspans import strip_duplicated_spans
+
+    with pytest.raises(ValueError):
+        strip_duplicated_spans(None, k=1)
+
+
+def _ref_strip(texts, ids, k):
+    from collections import Counter
+
+    wins = Counter()
+    toks = {i: t.split() for i, t in zip(ids, texts)}
+    for i in ids:
+        ws = toks[i]
+        for s in range(len(ws) - k + 1):
+            wins[" ".join(ws[s:s + k])] += 1
+    out = {}
+    for i in ids:
+        ws = toks[i]
+        covered = set()
+        for s in range(len(ws) - k + 1):
+            if wins[" ".join(ws[s:s + k])] > 1:
+                covered.update(range(s, s + k))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        out[i] = (" ".join(kept), len(ws), len(kept))
+    return out
+
+
+@pytest.mark.parametrize("broadcast_max", [None, 0])
+def test_strip_duplicated_spans_matches_reference(ray_session,
+                                                  broadcast_max):
+    import ray.data
+
+    from extract_kit_ray.ops.dupspans import strip_duplicated_spans
+
+    texts = ["p q r s t", "z p q r y", "p q r u p q r",
+             "unique words only here", "a b", ""]
+    ids = [10, 11, 12, 13, 14, 15]
+    kwargs = {} if broadcast_max is None else {
+        "broadcast_max": broadcast_max}
+    ds = ray.data.from_arrow(_doc_table(texts, ids)).repartition(4)
+    df = (strip_duplicated_spans(ds, key_col="doc_id", k=3, **kwargs)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ref = _ref_strip(texts, ids, 3)
+    assert len(df) == len(ids)
+    for row in df.itertuples():
+        assert (row.text, row.n_tokens, row.n_kept) == ref[row.doc_id], row
+    by = {r.doc_id: r for r in df.itertuples()}
+    assert by[10].text == "s t"          # shared "p q r" stripped
+    assert by[12].text == "u"            # both occurrences stripped
+    assert by[13].text == "unique words only here"
+    assert by[15].text == "" and by[15].n_kept == 0
