@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "incremental_new_docs",
     "domain_balanced_sample",
     "strip_dup_windows",
+    "top_quality_per_source",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2093,6 +2093,25 @@ def q_strip_dup_windows(sf_dir: str) -> "ray.data.Dataset":
     return strip_duplicated_spans(ds, key_col="doc_id", k=8)
 
 
+_TOP_PCT = 20
+
+
+def q_top_quality_per_source(sf_dir: str) -> "ray.data.Dataset":
+    """Group-relative quality gate (ops/sampling.top_pct_per_group):
+    keep each source's top 20% of docs by n_chars (ties by doc_id) —
+    the group-fair filter that a single global threshold gets wrong
+    when domains differ in scale.  Integer-exact head size
+    k_g = ceil(n_g * pct / 100) without floats; partial top-k per
+    batch bounds the shuffle.  Join path above the broadcast threshold
+    (tests/test_ops_ray.py)."""
+    from .ops.sampling import top_pct_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return top_pct_per_group(ds, group_col="source", key_col="doc_id",
+                             order_col="n_chars", pct=_TOP_PCT)
+
+
 _QUOTA_CHARS = 7_200  # straddles the per-source char totals at test scales
 
 
@@ -2629,6 +2648,7 @@ QUERIES = {
     "incremental_new_docs": q_incremental_new_docs,
     "domain_balanced_sample": q_domain_balanced_sample,
     "strip_dup_windows": q_strip_dup_windows,
+    "top_quality_per_source": q_top_quality_per_source,
 }
 
 ORACLE_SQL = {
@@ -3437,6 +3457,15 @@ def _domain_quota_oracle() -> str:
 
 
 ORACLE_SQL["domain_balanced_sample"] = _domain_quota_oracle()
+
+# top_quality_per_source: row_number within source by (n_chars desc,
+# doc_id) <= integer-ceil head size — no floats anywhere
+ORACLE_SQL["top_quality_per_source"] = f"""
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id)
+        <= (COUNT(*) OVER (PARTITION BY source) * {_TOP_PCT} + 99) // 100
+"""
 
 # strip_dup_windows: same window census as dup_window_stats, then the
 # rebuilt doc = non-covered tokens re-joined in position order

@@ -162,6 +162,89 @@ def quota_balanced_sample(ds, *, group_col: str, key_col: str,
                               zero_copy_batch=True)
 
 
+def top_pct_per_group(ds, *, group_col: str, key_col: str, order_col: str,
+                      pct: int, descending: bool = True,
+                      broadcast_max: int | None = None,
+                      num_partitions: int | None = None):
+    """Group-relative selection: keep each group's top ``pct`` percent
+    of rows by ``order_col`` (ties broken by ``key_col`` ascending) —
+    "top 20% by quality PER DOMAIN", the group-fair alternative to one
+    global threshold that would let big domains crowd out small ones.
+
+    Integer-exact head size ``k_g = (n_g * pct + 99) // 100`` (ceil,
+    no float), so the SQL row_number() oracle matches bit-for-bit.
+
+    Scale shape: one narrow ``groupby(group).count()`` for the group
+    sizes, then the proven partial-top-n trick (ops/sampling.
+    stratified_sample): every batch keeps at most k_g rows per group
+    BEFORE the shuffle — exact because the global top-k is a subset of
+    the union of per-batch top-ks under a monotone total order.  Under
+    ``config.broadcast_max_rows`` the k-map broadcasts; above it, k_g
+    rides every row through one narrow join."""
+    from ray.data.aggregate import Count
+
+    from ..config import broadcast_max_rows, resolve_num_partitions
+
+    if not 1 <= pct <= 100:
+        raise ValueError(f"pct must be in [1, 100], got {pct}")
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
+    num_partitions = resolve_num_partitions(num_partitions)
+    asc = [not descending, True]
+
+    counts = (ds.select_columns([group_col])
+              .groupby(group_col).aggregate(Count(alias_name="n"))
+              .materialize())  # bounded by distinct groups
+    n_groups = counts.count()
+
+    def head_per_group(df: pd.DataFrame, kvec) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values([order_col, key_col], ascending=asc,
+                            kind="mergesort")
+        rn = df.groupby(group_col, sort=False).cumcount()
+        return df[rn.to_numpy() < kvec(df)]
+
+    if n_groups <= broadcast_max:
+        kmap = {r[group_col]: (int(r["n"]) * pct + 99) // 100
+                for r in counts.take_all()}
+
+        def kvec(df):
+            return df[group_col].map(kmap).to_numpy()
+
+        fold = lambda df: head_per_group(df, kvec)  # noqa: E731
+        partial = ds.map_batches(fold, batch_format="pandas")
+        return partial.groupby(group_col).map_groups(
+            fold, batch_format="pandas")
+
+    # join fallback: k rides every row (one narrow join), folds read it
+    from .rayfix import seed_join_side
+
+    def to_k(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k_group": batch[group_col],
+                         "__k": pa.array((n * pct + 99) // 100, pa.int64())})
+
+    k_side = seed_join_side(
+        counts.map_batches(to_k, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        pa.table({"k_group": pa.array(["\x00__ekray_sentinel__"],
+                                      pa.string()),
+                  "__k": pa.array([0], pa.int64())}))
+    joined = ds.join(k_side, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=(group_col,), right_on=("k_group",))
+
+    def kvec_joined(df):
+        return df["__k"].to_numpy()
+
+    fold_j = lambda df: head_per_group(df, kvec_joined)  # noqa: E731
+    partial = joined.map_batches(fold_j, batch_format="pandas")
+    return (partial.groupby(group_col)
+            .map_groups(fold_j, batch_format="pandas")
+            .drop_columns(["__k"]))
+
+
 def sample_fraction(ds, *, key_col: str, fraction: float):
     """Keep rows whose sample hash falls under ``fraction`` of the hash
     space — a deterministic Bernoulli-style corpus sample (no shuffle,

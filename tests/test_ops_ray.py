@@ -659,6 +659,43 @@ def test_quota_target_guard():
                               weight_col="w", target_per_group=-1)
 
 
+def _top_pct_ref(df, pct):
+    out = []
+    for g, grp in df.groupby("g"):
+        k = (len(grp) * pct + 99) // 100
+        grp = grp.sort_values(["score", "doc_id"], ascending=[False, True])
+        out.extend(grp["doc_id"].head(k).tolist())
+    return sorted(out)
+
+
+@pytest.mark.parametrize("broadcast_max", [None, 0])
+def test_top_pct_per_group_matches_reference(ray_session, broadcast_max):
+    import ray.data
+
+    from extract_kit_ray.ops.sampling import top_pct_per_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], 300).astype(object),
+        "score": rng.integers(0, 40, 300),  # heavy score ties
+    })
+    kwargs = {} if broadcast_max is None else {"broadcast_max": broadcast_max}
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = top_pct_per_group(ds, group_col="g", key_col="doc_id",
+                            order_col="score", pct=25, **kwargs).to_pandas()
+    assert sorted(out["doc_id"]) == _top_pct_ref(df, 25)
+    assert "__k" not in out.columns
+
+
+def test_top_pct_guard():
+    from extract_kit_ray.ops.sampling import top_pct_per_group
+
+    with pytest.raises(ValueError):
+        top_pct_per_group(None, group_col="g", key_col="k",
+                          order_col="s", pct=0)
+
+
 # ---------------------------------------------------------------------------
 # hot-bucket cap (LSH / SimHash overflow handling)
 # ---------------------------------------------------------------------------
