@@ -173,13 +173,20 @@ def lsh_bucket_cap(env=None) -> int:
 
 def default_num_partitions(env=None) -> int:
     """Join/shuffle partition default DERIVED FROM THE CLUSTER instead
-    of a hardcoded constant (round-4 verdict #4): 2x total cluster CPUs
-    (floor 8), so an exchange spreads across every core with headroom
-    for skewed partitions, and a 256-node run doesn't funnel its joins
-    through 8 aggregators.  Reads live ``ray.cluster_resources()`` when
-    a session exists (the driver's ``ray.init`` happens before any
-    query runs), else ``os.cpu_count()``.  Override with
-    ``EKRAY_NUM_PARTITIONS``."""
+    of a hardcoded constant (round-4 verdict #4): half the total
+    cluster CPUs (floor 8), so a 256-node run doesn't funnel its joins
+    through 8 aggregators while the per-partition FIXED cost stays
+    paid-for.  Measured (BASELINE.md round 5): Ray's hash-shuffle join
+    spins up aggregator actors per partition, and on the narrow
+    decision shuffles the cost is ~linear in the partition count at
+    test scale — dedup_paragraphs at sf0.1 runs 9.5 s with 8
+    partitions, ~11 s with 16-32, ~20 s with 64 (the old 2x-CPUs
+    default) — so the multiplier is cpus/2, not 2x cpus; a petabyte
+    exchange that wants more parallelism than cores/2 sets
+    ``EKRAY_NUM_PARTITIONS`` explicitly.  Reads live
+    ``ray.cluster_resources()`` when a session exists (the driver's
+    ``ray.init`` happens before any query runs), else
+    ``os.cpu_count()``."""
     import os
 
     env = os.environ if env is None else env
@@ -204,7 +211,7 @@ def default_num_partitions(env=None) -> int:
         cpus = None
     if not cpus:
         cpus = os.cpu_count() or 4
-    return max(8, int(cpus) * 2)
+    return max(8, int(cpus) // 2)
 
 
 def resolve_num_partitions(num_partitions: int | None, env=None) -> int:

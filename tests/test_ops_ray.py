@@ -316,8 +316,9 @@ def test_minhash_dedup_ds_writeout(dup_docs, ray_session, tmp_path):
 
 def test_default_num_partitions():
     """Partition default derives from the cluster (round-4 verdict #4):
-    2x CPUs with a floor of 8, env-overridable, explicit values pass
-    through resolve."""
+    cpus/2 with a floor of 8 (the measured small-regime fixed cost is
+    linear in partitions — see config docstring), env-overridable,
+    explicit values pass through resolve."""
     from extract_kit_ray.config import default_num_partitions, resolve_num_partitions
 
     assert default_num_partitions(env={"EKRAY_NUM_PARTITIONS": "24"}) == 24
