@@ -115,6 +115,45 @@ def test_overlapping_windows_union_not_sum(ray_session):
     assert df.loc[0, "covered_tokens"] == 5  # union, not 4*2
 
 
+def test_stats_and_strip_agree_on_random_corpus(ray_session):
+    """Cross-operator invariant on a seeded random corpus with planted
+    repeats: for every doc, strip's n_kept == stats' n_tokens -
+    covered_tokens, both ops see the same n_tokens, and results are
+    identical across partitionings (hash order, not block order)."""
+    import ray.data
+
+    from extract_kit_ray.ops.dupspans import strip_duplicated_spans
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(60):
+        n = int(rng.integers(0, 25))
+        texts.append(" ".join(rng.choice(vocab, n)))
+    # plant a shared phrase into a third of the docs
+    for i in range(0, 60, 3):
+        texts[i] = texts[i] + " the quick brown fox jumps over the lazy dog"
+    ids = list(range(60))
+
+    frames = {}
+    for parts in (2, 9):
+        ds = ray.data.from_arrow(_doc_table(texts, ids)).repartition(parts)
+        stats = (duplicated_spans(ds, key_col="doc_id", k=4)
+                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        ds2 = ray.data.from_arrow(_doc_table(texts, ids)).repartition(parts)
+        strip = (strip_duplicated_spans(ds2, key_col="doc_id", k=4)
+                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert (stats["n_tokens"].values == strip["n_tokens"].values).all()
+        assert (strip["n_kept"].values ==
+                (stats["n_tokens"] - stats["covered_tokens"]).values).all()
+        assert (stats["covered_tokens"] <= stats["n_tokens"]).all()
+        assert (stats["dup_windows"] <= stats["n_windows"]).all()
+        frames[parts] = (stats, strip)
+    for col in ("dup_windows", "covered_tokens"):
+        assert (frames[2][0][col].values == frames[9][0][col].values).all()
+    assert (frames[2][1]["text"].values == frames[9][1]["text"].values).all()
+
+
 def test_k_guard():
     with pytest.raises(ValueError):
         duplicated_spans(None, k=1)
