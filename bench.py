@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "domain_balanced_sample",
     "strip_dup_windows",
     "top_quality_per_source",
+    "blocklist_filter",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

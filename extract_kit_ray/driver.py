@@ -2093,6 +2093,42 @@ def q_strip_dup_windows(sf_dir: str) -> "ray.data.Dataset":
     return strip_duplicated_spans(ds, key_col="doc_id", k=8)
 
 
+_BLOCKLIST = ["dom2.example", "dom3.example", "dom7.example",
+              "dom11.example", "sub1.dom2.example"]
+
+
+def q_blocklist_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Domain blocklist with subdomain inheritance (ops/blocklist.py):
+    a `spam.example` entry blocks `news.spam.example` too, the way real
+    crawl blocklists behave.  The plant spreads docs over two-level and
+    three-level hosts; the operator extracts hosts vectorized (one RE2
+    kernel), probes every >= 2-label domain suffix against the list
+    (one index_in per depth level), and emits decision-as-data
+    (blocked / blocked_by, most-specific entry wins).  Broadcast path
+    at this scale; the narrow suffix fan-out anti-join path is the same
+    call above config.broadcast_max_rows (tests/test_blocklist.py)."""
+    from .ops.blocklist import apply_blocklist
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        sub = np.where(did % 2 == 0,
+                       np.char.add(np.char.add("sub", (did % 5).astype("U2")),
+                                   "."), "")
+        host = np.char.add(
+            sub, np.char.add(np.char.add("dom", (did % 23).astype("U3")),
+                             ".example"))
+        url = np.char.add(np.char.add(np.char.add("https://", host), "/p/"),
+                          did.astype("U8"))
+        return batch.append_column("url", pa.array(url.tolist(), pa.string()))
+
+    planted = ds.map_batches(plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return apply_blocklist(planted, _BLOCKLIST, key_col="doc_id")
+
+
 _TOP_PCT = 20
 
 
@@ -2649,6 +2685,7 @@ QUERIES = {
     "domain_balanced_sample": q_domain_balanced_sample,
     "strip_dup_windows": q_strip_dup_windows,
     "top_quality_per_source": q_top_quality_per_source,
+    "blocklist_filter": q_blocklist_filter,
 }
 
 ORACLE_SQL = {
@@ -3457,6 +3494,34 @@ def _domain_quota_oracle() -> str:
 
 
 ORACLE_SQL["domain_balanced_sample"] = _domain_quota_oracle()
+
+def _blocklist_oracle() -> str:
+    host = ("CASE WHEN doc_id % 2 = 0 THEN 'sub' || (doc_id % 5) || '.' "
+            "ELSE '' END || 'dom' || (doc_id % 23) || '.example'")
+    vals = ", ".join(f"('{e}')" for e in _BLOCKLIST)
+    return f"""
+WITH hosts AS (SELECT doc_id, {host} AS host FROM documents),
+sfx AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(host, '.')) - 1),
+             i -> array_to_string(
+                 string_split(host, '.')[i:len(string_split(host, '.'))],
+                 '.'))) AS suffix
+  FROM hosts),
+bl(e) AS (VALUES {vals}),
+m AS (SELECT doc_id, suffix FROM sfx JOIN bl ON sfx.suffix = bl.e
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY length(suffix) DESC) = 1)
+SELECT h.doc_id, 'https://' || h.host || '/p/' || h.doc_id AS url,
+       (m.suffix IS NOT NULL) AS blocked,
+       COALESCE(m.suffix, '') AS blocked_by
+FROM hosts h LEFT JOIN m USING (doc_id)
+"""
+
+
+ORACLE_SQL["blocklist_filter"] = _blocklist_oracle()
+
 
 # top_quality_per_source: row_number within source by (n_chars desc,
 # doc_id) <= integer-ceil head size — no floats anywhere
