@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "strip_dup_windows",
     "top_quality_per_source",
     "blocklist_filter",
+    "anchor_text_topk",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2093,6 +2093,76 @@ def q_strip_dup_windows(sf_dir: str) -> "ray.data.Dataset":
     return strip_duplicated_spans(ds, key_col="doc_id", k=8)
 
 
+def q_anchor_text_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Anchor-text aggregation — the link-graph x text composition web
+    search and page-quality pipelines run: every link (the pagerank
+    plant's deterministic edge set) carries its source page's anchor
+    terms (first 3 tokens), and each TARGET page is represented by its
+    top-3 incoming anchor terms.  Scale shape: the fan-out emits
+    narrow (dst, term) rows map-side pre-counted per batch, ONE
+    groupby(dst, term) sums them, and the exact per-target top-3 rides
+    ops/sampling.top_n_per_group (partial head per batch, hash-bucketed
+    final fold — never one task per page)."""
+    from ray.data.aggregate import Sum
+
+    from .ops.bm25 import _tokens
+    from .ops.sampling import top_n_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        words, _dl = _tokens(batch["text"])
+        ats = pc.list_slice(words, 0, 3)
+        if isinstance(ats, pa.ChunkedArray):
+            ats = ats.combine_chunks()
+        flat = pc.list_flatten(ats)
+        parent = ats.value_parent_indices().to_numpy().astype(np.int64)
+        # blank docs tokenize to ['']: drop empty terms (SQL list_filter)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        terms = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        did = batch["doc_id"].to_numpy()
+        d1 = (did * 7 + 1) % n_docs
+        d2 = (did * 13 + 2) % n_docs
+        d3 = (did * 29 + 3) % n_docs
+        # per-src DISTINCT dsts (mirrors the pagerank oracle's UNION)
+        edge_dsts = [d1, d2, d3]
+        edge_valid = [np.ones(len(did), bool),
+                      d2 != d1, (d3 != d1) & (d3 != d2)]
+        out_dst, out_term = [], []
+        for dst, valid in zip(edge_dsts, edge_valid):
+            ok = valid[parent]
+            if not ok.any():
+                continue
+            out_dst.append(dst[parent[ok]])
+            out_term.append(terms.filter(pa.array(ok)))
+        if not out_dst:
+            return pa.table({"dst_doc": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "n_anchor": pa.array([], pa.int64())})
+        tbl = pa.table({
+            "dst_doc": pa.array(np.concatenate(out_dst), pa.int64()),
+            "term": pa.concat_arrays(
+                [t.combine_chunks() if isinstance(t, pa.ChunkedArray)
+                 else t for t in out_term]),
+        })
+        # map-side combine: per-batch (dst, term) partial counts
+        part = tbl.to_pandas().groupby(["dst_doc", "term"],
+                                       sort=False).size()
+        part = part.rename("n_anchor").reset_index()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    counts = (ds.map_batches(fanout, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["dst_doc", "term"])
+              .aggregate(Sum("n_anchor", alias_name="n_anchor")))
+    return top_n_per_group(counts, group_col="dst_doc",
+                           order_cols=["n_anchor", "term"], n=3,
+                           descending=[True, False])
+
+
 _BLOCKLIST = ["dom2.example", "dom3.example", "dom7.example",
               "dom11.example", "sub1.dom2.example"]
 
@@ -2686,6 +2756,7 @@ QUERIES = {
     "strip_dup_windows": q_strip_dup_windows,
     "top_quality_per_source": q_top_quality_per_source,
     "blocklist_filter": q_blocklist_filter,
+    "anchor_text_topk": q_anchor_text_topk,
 }
 
 ORACLE_SQL = {
@@ -3521,6 +3592,36 @@ FROM hosts h LEFT JOIN m USING (doc_id)
 
 
 ORACLE_SQL["blocklist_filter"] = _blocklist_oracle()
+
+# anchor_text_topk: pagerank's UNION-distinct edge plant, each edge
+# carrying its src's first-3-token anchor; per-target counts; exact
+# top-3 by (count desc, term) — total order, so row_number mirrors
+# top_n_per_group bit-for-bit
+ORACLE_SQL["anchor_text_topk"] = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+anch AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '')[1:3] AS ats
+  FROM documents),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+    FROM documents, nn
+    UNION
+    SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+    UNION
+    SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn)),
+terms AS (
+  SELECT e.dst AS dst_doc, unnest(a.ats) AS term
+  FROM edges e JOIN anch a ON a.doc_id = e.src),
+cnt AS (
+  SELECT dst_doc, term, CAST(count(*) AS BIGINT) AS n_anchor
+  FROM terms GROUP BY dst_doc, term)
+SELECT dst_doc, term, n_anchor FROM cnt
+QUALIFY row_number() OVER (PARTITION BY dst_doc
+                           ORDER BY n_anchor DESC, term) <= 3
+"""
 
 
 # top_quality_per_source: row_number within source by (n_chars desc,

@@ -245,6 +245,56 @@ def top_pct_per_group(ds, *, group_col: str, key_col: str, order_col: str,
             .drop_columns(["__k"]))
 
 
+def top_n_per_group(ds, *, group_col: str, order_cols: list[str], n: int,
+                    descending: list[bool] | bool = True,
+                    num_buckets: int | None = None):
+    """Exact top-``n`` rows per group under a TOTAL order (make
+    ``order_cols`` end in a unique tiebreaker) — the fixed-n sibling of
+    :func:`top_pct_per_group` and the k>1 generalization of
+    ops/keepbest.  Same two-level shape: per-batch partial head(n) per
+    group bounds the shuffle (global top-n is a subset of the union of
+    per-batch top-ns), then hash-bucketed groups fold vectorized —
+    never one task per group."""
+    from ..config import resolve_num_partitions
+    from ..functions.hashing import hash128_batch_signed
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    if len(descending) != len(order_cols):
+        raise ValueError("descending must match order_cols")
+    asc = [not d for d in descending]
+    num_buckets = resolve_num_partitions(num_buckets)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(list(order_cols), ascending=asc,
+                            kind="mergesort")
+        return df.groupby(group_col, sort=False).head(n)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__bucket"] = pd.Series([], dtype=np.int64)
+            return df
+        keys = df[group_col]
+        if keys.dtype == object or str(keys.dtype).startswith("string"):
+            h1, _h2 = hash128_batch_signed(keys.tolist())
+            b = h1.view(np.uint64) % np.uint64(num_buckets)
+        else:
+            b = keys.to_numpy().astype(np.uint64) % np.uint64(num_buckets)
+        df["__bucket"] = b.astype(np.int64)
+        return df
+
+    partial = ds.map_batches(fold, batch_format="pandas")
+    return (partial.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(fold, batch_format="pandas")
+            .drop_columns(["__bucket"]))
+
+
 def sample_fraction(ds, *, key_col: str, fraction: float):
     """Keep rows whose sample hash falls under ``fraction`` of the hash
     space — a deterministic Bernoulli-style corpus sample (no shuffle,

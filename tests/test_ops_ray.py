@@ -697,6 +697,28 @@ def test_top_pct_guard():
                           order_col="s", pct=0)
 
 
+def test_top_n_per_group_exact_across_blocks(ray_session):
+    import ray.data
+
+    from extract_kit_ray.ops.sampling import top_n_per_group
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 400).astype(object),
+        "score": rng.integers(0, 30, 400),
+        "id": np.arange(400, dtype=np.int64),
+    })
+    out = top_n_per_group(
+        ray.data.from_pandas(df).repartition(8), group_col="g",
+        order_cols=["score", "id"], n=5,
+        descending=[True, False]).to_pandas()
+    ref = (df.sort_values(["score", "id"], ascending=[False, True])
+           .groupby("g").head(5))
+    assert sorted(out["id"]) == sorted(ref["id"])
+    with pytest.raises(ValueError):
+        top_n_per_group(None, group_col="g", order_cols=["s"], n=0)
+
+
 # ---------------------------------------------------------------------------
 # hot-bucket cap (LSH / SimHash overflow handling)
 # ---------------------------------------------------------------------------
