@@ -4,8 +4,11 @@ broadcast vs join path equivalence."""
 
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
-from extract_kit_ray.ops.blocklist import apply_blocklist, extract_host
+from extract_kit_ray.ops.blocklist import (_suffix_fanout, apply_blocklist,
+                                           extract_host)
 
 
 def _docs(urls, ids=None):
@@ -73,6 +76,24 @@ def test_empty_blocklist_blocks_nothing(ray_session):
     out = apply_blocklist(ds, []).to_pandas()
     assert not out["blocked"].any()
     assert (out["blocked_by"] == "").all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=8))
+def test_host_parse_total_on_arbitrary_text(urls):
+    """extract_host and the suffix fan-out are TOTAL: arbitrary junk
+    never raises; hosts come back lowercase; every emitted suffix is a
+    dot-suffix of its row's host with >= 2 labels."""
+    tbl = pa.table({"doc_id": pa.array(range(len(urls)), pa.int64()),
+                    "url": pa.array(urls, pa.string())})
+    hosts = extract_host(tbl["url"]).to_pylist()
+    assert all(h == h.lower() for h in hosts)
+    fan = _suffix_fanout(tbl, url_col="url", key_col="doc_id")
+    for key, sfx in zip(fan["doc_id"].to_pylist(),
+                        fan["suffix"].to_pylist()):
+        h = hosts[key]
+        assert h == sfx or h.endswith("." + sfx), (h, sfx)
+        assert sfx.count(".") >= 1
 
 
 def test_case_insensitive_host_and_entries(ray_session):
