@@ -118,13 +118,17 @@ def quota_balanced_sample(ds, *, group_col: str, key_col: str,
         return (target_per_group * SAMPLE_HASH_MOD) // wg
 
     if n_groups <= broadcast_max:
-        cuts = {r[group_col]: cut_of(int(r["wg"]))
-                for r in totals.take_all()}
+        rows = totals.take_all()
+        group_keys = pa.array([r[group_col] for r in rows])
+        cut_vec = np.array([cut_of(int(r["wg"])) for r in rows],
+                           dtype=np.uint64)
 
         def keep(batch: pa.Table) -> pa.Table:
             h = sample_hash(batch[key_col].to_numpy())
-            cut = np.array([cuts[g] for g in batch[group_col].to_pylist()],
-                           dtype=np.uint64)
+            # vectorized group -> cut: one index_in hash probe + gather
+            # (every group is in the totals by construction)
+            gi = pc.index_in(batch[group_col], value_set=group_keys)
+            cut = cut_vec[gi.to_numpy(zero_copy_only=False).astype(np.int64)]
             return batch.filter(pa.array(h < cut))
 
         return ds.map_batches(keep, batch_format="pyarrow",
