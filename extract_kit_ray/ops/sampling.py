@@ -72,6 +72,17 @@ def stratified_sample(ds, *, group_col: str, key_col: str, n_per_group: int):
                                                   batch_format="pandas")
 
 
+def _group_key_type(ds, group_col: str) -> "pa.DataType":
+    """Arrow type of a (materialized, non-empty) dataset's group key —
+    robust to pandas-block schemas, where Ray's ``schema()`` has no
+    ``field()``: fall back to inferring from one row's value."""
+    sch = ds.schema()
+    try:
+        return sch.base_schema.field(group_col).type
+    except AttributeError:
+        return pa.array([ds.take(1)[0][group_col]]).type
+
+
 def quota_balanced_sample(ds, *, group_col: str, key_col: str,
                           weight_col: str, target_per_group: int,
                           broadcast_max: int | None = None,
@@ -144,11 +155,14 @@ def quota_balanced_sample(ds, *, group_col: str, key_col: str,
                              batch["wg"].to_pylist()], pa.int64()),
         })
 
+    # sentinel group key is NULL: nulls never match in Acero joins, so
+    # the seed row fixes the schema broadcast without being matchable,
+    # for string AND integer group keys alike
+    gtype = _group_key_type(totals, group_col)
     cut_side = seed_join_side(
         totals.map_batches(to_cuts, batch_format="pyarrow",
                            zero_copy_batch=True),
-        pa.table({"cut_group": pa.array(["\x00__ekray_sentinel__"],
-                                        pa.string()),
+        pa.table({"cut_group": pa.array([None], gtype),
                   "cut": pa.array([None], pa.int64())}))
     joined = ds.join(cut_side, join_type="inner",
                      num_partitions=num_partitions,
@@ -229,11 +243,13 @@ def top_pct_per_group(ds, *, group_col: str, key_col: str, order_col: str,
         return pa.table({"k_group": batch[group_col],
                          "__k": pa.array((n * pct + 99) // 100, pa.int64())})
 
+    # null sentinel key: schema-fixes the join side without ever
+    # matching (works for string and integer group keys)
+    gtype = _group_key_type(counts, group_col)
     k_side = seed_join_side(
         counts.map_batches(to_k, batch_format="pyarrow",
                            zero_copy_batch=True),
-        pa.table({"k_group": pa.array(["\x00__ekray_sentinel__"],
-                                      pa.string()),
+        pa.table({"k_group": pa.array([None], gtype),
                   "__k": pa.array([0], pa.int64())}))
     joined = ds.join(k_side, join_type="inner",
                      num_partitions=num_partitions,
