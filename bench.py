@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "top_quality_per_source",
     "blocklist_filter",
     "anchor_text_topk",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "dataset_split",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -2676,6 +2676,78 @@ def q_curate_webpages(sf_dir: str) -> "ray.data.Dataset":
         ["doc_id", "text", "n_tokens_ws"])
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def q_kmeans_clusters(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed integer-exact k-means (ops/kmeans.py): Lloyd rounds
+    as broadcast-centroid map passes emitting k tiny partial rows per
+    block — the corpus never shuffles.  The quantization/floor-division
+    contract (module docstring) makes the chained-CTE DuckDB oracle
+    reproduce every round bit-for-bit, same determinism family as
+    pagerank_links — float k-means is un-oracle-able across engines."""
+    from .ops.kmeans import kmeans_labels
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return kmeans_labels(ds, k=_KMEANS_K, n_iters=_KMEANS_ITERS)
+
+
+def _plant_semdedup_copies(batch: pa.Table) -> pa.Table:
+    """Exact copies both ABOVE and BELOW the original key range:
+    vec_id % 20 == 0 -> twin at +_PLANT_OFFSET (copy must drop),
+    vec_id % 20 == 10 -> twin at -_PLANT_OFFSET (ORIGINAL must drop) —
+    so the oracle genuinely tests keep-min-key semantics, not just
+    'planted rows vanish'."""
+    import pyarrow.compute as pc
+
+    ids = batch["vec_id"].to_numpy()
+    hi = batch.filter(pa.array(ids % 20 == 0))
+    hi = hi.set_column(hi.schema.get_field_index("vec_id"), "vec_id",
+                       pc.add(hi["vec_id"], _PLANT_OFFSET))
+    lo = batch.filter(pa.array(ids % 20 == 10))
+    lo = lo.set_column(lo.schema.get_field_index("vec_id"), "vec_id",
+                       pc.subtract(lo["vec_id"], _PLANT_OFFSET))
+    return pa.concat_tables([batch, hi, lo])
+
+
+def q_semantic_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """SemDeDup (ops/semdedup.py): k-means clusters bound the candidate
+    space, in-cluster cosine>=0.99 pairs are verified on quantized
+    integer vectors, keep-min-key per component; kept keys come back as
+    a streaming Dataset via a broadcast drop-list.  Exact copies always
+    share a cluster (identical integer distances), and the isotropic
+    corpus' organic pairwise cosine tops out ~0.5, so the planted-twin
+    oracle is exact — including the keep-min direction (negative-id
+    twins evict their originals)."""
+    from .ops.semdedup import semantic_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    aug = ds.map_batches(_plant_semdedup_copies, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    kept, _dropped = semantic_dedup(aug, k=_KMEANS_K, n_iters=2,
+                                    threshold=0.99)
+    return kept
+
+
+_SPLIT_WEIGHTS = {"train": 960, "val": 25, "test": 15}
+
+
+def q_dataset_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment (ops/sampling.hash_split):
+    Knuth-hash bucket of doc_id -> consecutive weight ranges.  Stable
+    under re-partitioning/resume/append (hash-based, not positional);
+    one streaming pass, no shuffle; CASE-over-hash SQL mirror is exact
+    over the full int64 key domain."""
+    from .ops.sampling import hash_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return hash_split(ds, key_col="doc_id", weights=_SPLIT_WEIGHTS)
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -2757,6 +2829,9 @@ QUERIES = {
     "top_quality_per_source": q_top_quality_per_source,
     "blocklist_filter": q_blocklist_filter,
     "anchor_text_topk": q_anchor_text_topk,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLE_SQL = {
@@ -3954,3 +4029,33 @@ ORACLE_SQL["curate_webpages"] = (
     f"SELECT doc_id, text, n_tokens_ws FROM t WHERE n_tokens_ws >= {_WEBCURATE_MIN_TOKENS} "
     "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
 )
+
+
+def _kmeans_oracle() -> str:
+    from .ops.kmeans import oracle_kmeans_sql
+
+    return oracle_kmeans_sql(dim=64, k=_KMEANS_K, n_iters=_KMEANS_ITERS)
+
+
+ORACLE_SQL["kmeans_clusters"] = _kmeans_oracle()
+
+# semantic_dedup: exact planted arithmetic — copies always share their
+# source's k-means cluster (identical integer vectors -> identical
+# argmin), organic cosines stay far under the 0.99 bar, so the kept set
+# is: every original except those evicted by a smaller-id twin, plus
+# the smaller-id twins themselves.
+ORACLE_SQL["semantic_dedup"] = (
+    "SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 10 "
+    "UNION ALL "
+    f"SELECT vec_id - {_PLANT_OFFSET} FROM embeddings WHERE vec_id % 20 = 10"
+)
+
+
+def _dataset_split_oracle() -> str:
+    from .ops.sampling import hash_split_sql
+
+    expr = hash_split_sql("doc_id", _SPLIT_WEIGHTS)
+    return f"SELECT doc_id, {expr} AS split FROM documents"
+
+
+ORACLE_SQL["dataset_split"] = _dataset_split_oracle()

@@ -315,6 +315,46 @@ def top_n_per_group(ds, *, group_col: str, order_cols: list[str], n: int,
             .drop_columns(["__bucket"]))
 
 
+def hash_split(ds, *, key_col: str, weights: dict[str, int],
+               denom: int = 1000):
+    """Deterministic train/val/test assignment: bucket =
+    ``sample_hash(key) % denom``; consecutive weight ranges (in
+    insertion order of ``weights``, which must sum to ``denom``) map
+    buckets to split names.  Hash-based (not positional), so the split
+    is stable under re-partitioning, resumes, and corpus appends — the
+    property a training/eval split must have that ``ds.split()`` lacks.
+    One streaming ``add_column`` pass, no shuffle; the SQL mirror is a
+    CASE over :func:`sample_hash_sql` (exact, full int64 key domain)."""
+    if sum(weights.values()) != denom:
+        raise ValueError(f"weights must sum to denom={denom}, got "
+                         f"{sum(weights.values())}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    names = list(weights)
+    bounds = np.cumsum([weights[n] for n in names]).astype(np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = sample_hash(batch[key_col].to_numpy()) % np.uint64(denom)
+        idx = np.searchsorted(bounds, h.astype(np.int64), side="right")
+        return batch.append_column(
+            "split", pa.array(np.array(names, dtype=object)[idx]))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split_sql(key_col: str, weights: dict[str, int],
+                   denom: int = 1000) -> str:
+    """The DuckDB CASE expression replaying :func:`hash_split` exactly."""
+    bucket = f"({sample_hash_sql(key_col)} % {denom})"
+    arms, lo = [], 0
+    names = list(weights)
+    for n in names[:-1]:
+        lo += weights[n]
+        arms.append((lo, n))
+    cases = " ".join(f"WHEN {bucket} < {b} THEN '{n}'" for b, n in arms)
+    return f"CASE {cases} ELSE '{names[-1]}' END"
+
+
 def sample_fraction(ds, *, key_col: str, fraction: float):
     """Keep rows whose sample hash falls under ``fraction`` of the hash
     space — a deterministic Bernoulli-style corpus sample (no shuffle,
