@@ -2373,6 +2373,34 @@ def q_pagerank_dangling(sf_dir: str) -> "ray.data.Dataset":
     return pagerank_int(edges, n_iters=3, redistribute_dangling=True)
 
 
+def q_hits_links(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed HITS (ops/hits.py) over the same closed-form link
+    graph as pagerank_links: per half-step one narrow join + one
+    groupby-sum + one bounded L1-total collect.  L1 (not L2)
+    normalization keeps every operand integral, so the chained-CTE
+    oracle matches bit-for-bit — same determinism family as
+    pagerank_links (textbook L2 HITS is un-oracle-able: sqrt + float
+    summation order)."""
+    from .ops.hits import hits_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        src = np.tile(did, 3)
+        dst = np.concatenate([(did * 7 + 1) % n, (did * 13 + 2) % n,
+                              (did * 29 + 3) % n])
+        pairs = np.unique(np.column_stack([src, dst]), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                         "dst": pa.array(pairs[:, 1], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return hits_int(edges, n_iters=2)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2832,6 +2860,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "dataset_split": q_dataset_split,
+    "hits_links": q_hits_links,
 }
 
 ORACLE_SQL = {
@@ -4059,3 +4088,22 @@ def _dataset_split_oracle() -> str:
 
 
 ORACLE_SQL["dataset_split"] = _dataset_split_oracle()
+
+
+def _hits_oracle() -> str:
+    from .ops.hits import oracle_hits_sql
+
+    edges = (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT src, dst FROM ("
+        "SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst "
+        "FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn)"
+    )
+    return oracle_hits_sql(edges, n_iters=2)
+
+
+ORACLE_SQL["hits_links"] = _hits_oracle()
