@@ -2401,6 +2401,38 @@ def q_hits_links(sf_dir: str) -> "ray.data.Dataset":
     return hits_int(edges, n_iters=2)
 
 
+def q_link_hops(sf_dir: str) -> "ray.data.Dataset":
+    """Multi-source BFS crawl-depth labeling (ops/bfs.py) over the
+    shared closed-form link graph: seeds are every 97th doc, every
+    node reachable within 3 hops gets its shortest hop count.  Per
+    round ONE frontier join + ONE groupby-distinct; hop counts are
+    exact int64 so the chained-CTE oracle is hash-exact."""
+    from .ops.bfs import bfs_hops
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        src = np.tile(did, 3)
+        dst = np.concatenate([(did * 7 + 1) % n, (did * 13 + 2) % n,
+                              (did * 29 + 3) % n])
+        pairs = np.unique(np.column_stack([src, dst]), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                         "dst": pa.array(pairs[:, 1], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    def mk_seeds(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        return pa.table({"node": pa.array(did[did % 97 == 0], pa.int64())})
+
+    seeds = ds.map_batches(mk_seeds, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2861,6 +2893,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "dataset_split": q_dataset_split,
     "hits_links": q_hits_links,
+    "link_hops": q_link_hops,
 }
 
 ORACLE_SQL = {
@@ -4107,3 +4140,23 @@ def _hits_oracle() -> str:
 
 
 ORACLE_SQL["hits_links"] = _hits_oracle()
+
+
+def _link_hops_oracle() -> str:
+    from .ops.bfs import oracle_bfs_sql
+
+    edges = (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT src, dst FROM ("
+        "SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst "
+        "FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn)"
+    )
+    seeds = "SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0"
+    return oracle_bfs_sql(edges, seeds, max_hops=3)
+
+
+ORACLE_SQL["link_hops"] = _link_hops_oracle()
