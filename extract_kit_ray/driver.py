@@ -2433,6 +2433,32 @@ def q_link_hops(sf_dir: str) -> "ray.data.Dataset":
     return bfs_hops(edges, seeds, max_hops=3)
 
 
+def q_link_triangles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-node triangle participation (ops/triangles.py) over the
+    shared closed-form link graph, undirected: degree-ordered wedge
+    generation (Suri & Vassilvitskii MPC shape — hub-skew-proof) plus
+    one fused-key closing join.  Pure set counting, so the canonical
+    a<b<c three-way-join oracle is hash-exact."""
+    from .ops.triangles import triangle_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        src = np.tile(did, 3)
+        dst = np.concatenate([(did * 7 + 1) % n, (did * 13 + 2) % n,
+                              (did * 29 + 3) % n])
+        pairs = np.unique(np.column_stack([src, dst]), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                         "dst": pa.array(pairs[:, 1], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return triangle_counts(edges)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2894,6 +2920,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "hits_links": q_hits_links,
     "link_hops": q_link_hops,
+    "link_triangles": q_link_triangles,
 }
 
 ORACLE_SQL = {
@@ -4160,3 +4187,22 @@ def _link_hops_oracle() -> str:
 
 
 ORACLE_SQL["link_hops"] = _link_hops_oracle()
+
+
+def _link_triangles_oracle() -> str:
+    from .ops.triangles import oracle_triangles_sql
+
+    edges = (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT src, dst FROM ("
+        "SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst "
+        "FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn)"
+    )
+    return oracle_triangles_sql(edges)
+
+
+ORACLE_SQL["link_triangles"] = _link_triangles_oracle()
