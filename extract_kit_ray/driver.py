@@ -2459,6 +2459,22 @@ def q_link_triangles(sf_dir: str) -> "ray.data.Dataset":
     return triangle_counts(edges)
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_conversion(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user funnel depth over the events stream (ops/funnel.py):
+    view -> click -> purchase as K chained min-passes — each event
+    rides exactly one shuffle, per-user state is one int64.  Exact
+    int64 microsecond comparisons make the chained-CTE oracle
+    hash-exact."""
+    from .ops.funnel import funnel_steps
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, _FUNNEL_STEPS)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2921,6 +2937,7 @@ QUERIES = {
     "hits_links": q_hits_links,
     "link_hops": q_link_hops,
     "link_triangles": q_link_triangles,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 ORACLE_SQL = {
@@ -4206,3 +4223,13 @@ def _link_triangles_oracle() -> str:
 
 
 ORACLE_SQL["link_triangles"] = _link_triangles_oracle()
+
+
+def _funnel_oracle() -> str:
+    from .ops.funnel import oracle_funnel_sql
+
+    return oracle_funnel_sql(
+        "SELECT user_id, ts, event_type FROM events", _FUNNEL_STEPS)
+
+
+ORACLE_SQL["funnel_conversion"] = _funnel_oracle()
