@@ -2475,6 +2475,18 @@ def q_funnel_conversion(sf_dir: str) -> "ray.data.Dataset":
     return funnel_steps(ds, _FUNNEL_STEPS)
 
 
+def q_cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Daily cohort-retention triangle over the events stream
+    (ops/cohort.py): distinct user-days -> per-user min day ->
+    (cohort_day, day_offset) cell counts.  Narrow int64 triples ride
+    every shuffle; broadcast-or-join guarded cohort re-attach."""
+    from .ops.cohort import cohort_retention
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return cohort_retention(ds)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2938,6 +2950,7 @@ QUERIES = {
     "link_hops": q_link_hops,
     "link_triangles": q_link_triangles,
     "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -4233,3 +4246,12 @@ def _funnel_oracle() -> str:
 
 
 ORACLE_SQL["funnel_conversion"] = _funnel_oracle()
+
+
+def _cohort_oracle() -> str:
+    from .ops.cohort import oracle_cohort_sql
+
+    return oracle_cohort_sql("SELECT user_id, ts FROM events")
+
+
+ORACLE_SQL["cohort_retention"] = _cohort_oracle()
