@@ -2487,6 +2487,19 @@ def q_cohort_retention(sf_dir: str) -> "ray.data.Dataset":
     return cohort_retention(ds)
 
 
+def q_rollup_doc_metrics(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(source, lang) doc counters in ONE shuffle
+    (ops/rollup.py): map-side emits all three rollup levels as encoded
+    partials, a single groupby merges them, rolled slots decode to
+    SQL-style NULLs."""
+    from .ops.rollup import rollup_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang", "n_chars"])
+    return rollup_aggregate(ds, ["source", "lang"], ["n_chars"],
+                            count_alias="n_docs")
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2951,6 +2964,7 @@ QUERIES = {
     "link_triangles": q_link_triangles,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
+    "rollup_doc_metrics": q_rollup_doc_metrics,
 }
 
 ORACLE_SQL = {
@@ -4255,3 +4269,14 @@ def _cohort_oracle() -> str:
 
 
 ORACLE_SQL["cohort_retention"] = _cohort_oracle()
+
+
+def _rollup_oracle() -> str:
+    from .ops.rollup import oracle_rollup_sql
+
+    return oracle_rollup_sql(
+        "SELECT source, lang, n_chars FROM documents",
+        ["source", "lang"], ["n_chars"], count_alias="n_docs")
+
+
+ORACLE_SQL["rollup_doc_metrics"] = _rollup_oracle()
