@@ -2500,6 +2500,17 @@ def q_rollup_doc_metrics(sf_dir: str) -> "ray.data.Dataset":
                             count_alias="n_docs")
 
 
+def q_rank_in_source(sf_dir: str) -> "ray.data.Dataset":
+    """RANK() OVER (PARTITION BY source ORDER BY n_chars DESC) without
+    a corpus sort (ops/grouprank.py): (source, n_chars) histogram ->
+    bucketed prefix-sum -> broadcast-or-join re-attach."""
+    from .ops.grouprank import rank_in_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return rank_in_group(ds, group_col="source", value_col="n_chars")
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2965,6 +2976,7 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "rollup_doc_metrics": q_rollup_doc_metrics,
+    "rank_in_source": q_rank_in_source,
 }
 
 ORACLE_SQL = {
@@ -4280,3 +4292,15 @@ def _rollup_oracle() -> str:
 
 
 ORACLE_SQL["rollup_doc_metrics"] = _rollup_oracle()
+
+
+def _rank_in_source_oracle() -> str:
+    from .ops.grouprank import oracle_rank_sql
+
+    return oracle_rank_sql(
+        "SELECT doc_id, source, n_chars FROM documents",
+        group_col="source", value_col="n_chars",
+        select="doc_id, source, n_chars")
+
+
+ORACLE_SQL["rank_in_source"] = _rank_in_source_oracle()
