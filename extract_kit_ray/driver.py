@@ -2511,6 +2511,21 @@ def q_rank_in_source(sf_dir: str) -> "ray.data.Dataset":
     return rank_in_group(ds, group_col="source", value_col="n_chars")
 
 
+_LEN_QS = {"p50": 500_000, "p90": 900_000, "p99": 990_000}
+
+
+def q_length_quantiles_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Exact p50/p90/p99 doc-length per lang from the (lang, n_chars)
+    histogram (ops/quantiles.py) — integer rank rule, no corpus sort;
+    the oracle spells the same rule over a ROW_NUMBER window."""
+    from .ops.quantiles import group_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    return group_quantiles(ds, group_col="lang", value_col="n_chars",
+                           qs_micro=_LEN_QS)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2977,6 +2992,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "rollup_doc_metrics": q_rollup_doc_metrics,
     "rank_in_source": q_rank_in_source,
+    "length_quantiles_by_lang": q_length_quantiles_by_lang,
 }
 
 ORACLE_SQL = {
@@ -4304,3 +4320,14 @@ def _rank_in_source_oracle() -> str:
 
 
 ORACLE_SQL["rank_in_source"] = _rank_in_source_oracle()
+
+
+def _length_quantiles_oracle() -> str:
+    from .ops.quantiles import oracle_quantiles_sql
+
+    return oracle_quantiles_sql(
+        "SELECT lang, n_chars FROM documents",
+        group_col="lang", value_col="n_chars", qs_micro=_LEN_QS)
+
+
+ORACLE_SQL["length_quantiles_by_lang"] = _length_quantiles_oracle()
