@@ -2526,6 +2526,21 @@ def q_length_quantiles_by_lang(sf_dir: str) -> "ray.data.Dataset":
                            qs_micro=_LEN_QS)
 
 
+_COOC_TERMS = ["data", "stream", "value", "vector", "pipeline", "small",
+               "the", "of", "index", "batch"]
+
+
+def q_term_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
+    """Doc-level term-pair lift over documents (ops/cooccur.py): one
+    presence-matmul per batch, |T|^2 partial triples per shuffle,
+    Python-int lift vs the oracle's HUGEINT."""
+    from .ops.cooccur import term_cooccurrence
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return term_cooccurrence(ds, _COOC_TERMS)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -2993,6 +3008,7 @@ QUERIES = {
     "rollup_doc_metrics": q_rollup_doc_metrics,
     "rank_in_source": q_rank_in_source,
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
+    "term_cooccurrence": q_term_cooccurrence,
 }
 
 ORACLE_SQL = {
@@ -4331,3 +4347,13 @@ def _length_quantiles_oracle() -> str:
 
 
 ORACLE_SQL["length_quantiles_by_lang"] = _length_quantiles_oracle()
+
+
+def _cooccur_oracle() -> str:
+    from .ops.cooccur import oracle_cooccur_sql
+
+    return oracle_cooccur_sql("SELECT doc_id, text FROM documents",
+                              _COOC_TERMS)
+
+
+ORACLE_SQL["term_cooccurrence"] = _cooccur_oracle()
