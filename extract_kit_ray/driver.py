@@ -2541,6 +2541,21 @@ def q_term_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
     return term_cooccurrence(ds, _COOC_TERMS)
 
 
+def q_weighted_doc_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Length-biased deterministic doc sample (ops/sampling.py
+    weighted_sample): integer priority hash*1e6 // (n_chars+1), global
+    top-100 via per-batch partial heads + one constant-key fold."""
+    from .ops.sampling import weighted_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "w", pa.compute.add(b["n_chars"], 1).cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return weighted_sample(ds, key_col="doc_id", weight_col="w", n=100)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3009,6 +3024,7 @@ QUERIES = {
     "rank_in_source": q_rank_in_source,
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "term_cooccurrence": q_term_cooccurrence,
+    "weighted_doc_sample": q_weighted_doc_sample,
 }
 
 ORACLE_SQL = {
@@ -4357,3 +4373,15 @@ def _cooccur_oracle() -> str:
 
 
 ORACLE_SQL["term_cooccurrence"] = _cooccur_oracle()
+
+
+def _weighted_sample_oracle() -> str:
+    from .ops.sampling import weighted_sample_sql
+
+    return weighted_sample_sql(
+        "SELECT doc_id, source, n_chars, "
+        "CAST(n_chars + 1 AS BIGINT) AS w FROM documents",
+        key_col="doc_id", weight_col="w", n=100)
+
+
+ORACLE_SQL["weighted_doc_sample"] = _weighted_sample_oracle()

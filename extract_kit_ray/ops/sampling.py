@@ -369,3 +369,59 @@ def sample_fraction(ds, *, key_col: str, fraction: float):
         return batch.filter(pa.array(h < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(ds, *, key_col: str, weight_col: str, n: int):
+    """Global weight-biased top-``n`` sample: keep the rows with the
+    smallest ``priority = sample_hash(key) * 1_000_000 // weight`` —
+    heavier rows draw proportionally smaller priorities, the
+    deterministic integer analog of the A-ES weighted-reservoir trick
+    (Efraimidis & Spirakis 2006 use ``u^(1/w)``; the monotone
+    ``h // w`` variant keeps the whole pipeline in exact int64:
+    ``hash < 2^32`` so ``hash * 1e6`` tops out near 4.3e15).  Weights
+    must be >= 1 (validated per batch — fail loudly, house style).
+
+    Scale shape: per-batch partial top-n (global winners are a subset
+    of the union of per-batch winners), then ONE constant-key fold
+    over <= n * n_batches rows.  Ties are impossible given unique
+    keys: (priority, key) is a total order, mirrored by the oracle's
+    ``row_number() OVER (ORDER BY priority, key)``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def with_priority(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy()
+        if len(w) and int(w.min()) < 1:
+            raise ValueError(
+                f"weighted_sample: {weight_col} has values < 1")
+        df = df.copy()
+        df["priority"] = (
+            sample_hash(df[key_col].to_numpy()).astype(np.int64)
+            * np.int64(1_000_000) // w.astype(np.int64))
+        return df.sort_values(["priority", key_col]).head(n)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["priority", key_col]).head(n)
+                .drop(columns=["__all"]))
+
+    def const_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__all"] = np.zeros(len(df), dtype=np.int64)
+        return df
+
+    return (ds.map_batches(with_priority, batch_format="pandas")
+            .map_batches(const_key, batch_format="pandas")
+            .groupby("__all")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def weighted_sample_sql(rows_sql: str, *, key_col: str, weight_col: str,
+                        n: int, select: str = "*") -> str:
+    """DuckDB mirror of :func:`weighted_sample`."""
+    prio = (f"CAST({sample_hash_sql(key_col)} * 1000000 "
+            f"// {weight_col} AS BIGINT)")
+    return (f"SELECT * EXCLUDE (__rn) FROM (SELECT {select}, "
+            f"{prio} AS priority, "
+            f"row_number() OVER (ORDER BY {prio}, {key_col}) AS __rn "
+            f"FROM ({rows_sql})) WHERE __rn <= {n}")
