@@ -2556,6 +2556,17 @@ def q_weighted_doc_sample(sf_dir: str) -> "ray.data.Dataset":
     return weighted_sample(ds, key_col="doc_id", weight_col="w", n=100)
 
 
+def q_chunk_spans(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding training-window fan-out over documents
+    (ops/chunking.py): W=256 S=128 spans from n_chars, pure streaming
+    flat emit — zero shuffles, narrow int64 output."""
+    from .ops.chunking import chunk_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return chunk_spans(ds, size_col="n_chars", window=256, stride=128)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3025,6 +3036,7 @@ QUERIES = {
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "term_cooccurrence": q_term_cooccurrence,
     "weighted_doc_sample": q_weighted_doc_sample,
+    "chunk_spans": q_chunk_spans,
 }
 
 ORACLE_SQL = {
@@ -4385,3 +4397,13 @@ def _weighted_sample_oracle() -> str:
 
 
 ORACLE_SQL["weighted_doc_sample"] = _weighted_sample_oracle()
+
+
+def _chunk_spans_oracle() -> str:
+    from .ops.chunking import oracle_chunks_sql
+
+    return oracle_chunks_sql("SELECT doc_id, n_chars FROM documents",
+                             size_col="n_chars", window=256, stride=128)
+
+
+ORACLE_SQL["chunk_spans"] = _chunk_spans_oracle()
