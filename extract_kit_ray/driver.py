@@ -2567,6 +2567,35 @@ def q_chunk_spans(sf_dir: str) -> "ray.data.Dataset":
     return chunk_spans(ds, size_col="n_chars", window=256, stride=128)
 
 
+def q_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-snapshot url diff (ops/snapshot.py): two deterministic
+    snapshot views of documents (old = doc_id % 7 != 0; new =
+    doc_id % 5 != 0 with every doc_id % 3 == 0 text revised) classified
+    new/deleted/changed/same via the one-groupby full-outer fold."""
+    from .ops.snapshot import snapshot_diff
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def old_view(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 7 != 0))
+
+    def new_view(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.array(b["doc_id"].to_numpy() % 5 != 0))
+        rev = b["doc_id"].to_numpy() % 3 == 0
+        text = pc.if_else(pa.array(rev),
+                          pc.binary_join_element_wise(
+                              b["text"].cast(pa.string()), " v2", ""),
+                          b["text"].cast(pa.string()))
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    old = base.map_batches(old_view, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    new = base.map_batches(new_view, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return snapshot_diff(old, new, key_col="doc_id")
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3037,6 +3066,7 @@ QUERIES = {
     "term_cooccurrence": q_term_cooccurrence,
     "weighted_doc_sample": q_weighted_doc_sample,
     "chunk_spans": q_chunk_spans,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -4407,3 +4437,16 @@ def _chunk_spans_oracle() -> str:
 
 
 ORACLE_SQL["chunk_spans"] = _chunk_spans_oracle()
+
+
+def _snapshot_diff_oracle() -> str:
+    from .ops.snapshot import oracle_snapshot_diff_sql
+
+    return oracle_snapshot_diff_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0",
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' v2' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 5 != 0",
+        key_col="doc_id")
+
+
+ORACLE_SQL["snapshot_diff"] = _snapshot_diff_oracle()
