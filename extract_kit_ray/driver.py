@@ -2596,6 +2596,29 @@ def q_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
     return snapshot_diff(old, new, key_col="doc_id")
 
 
+def q_cocitation_links(sf_dir: str) -> "ray.data.Dataset":
+    """Co-citation pair counts (ops/cocitation.py) over the shared
+    closed-form link graph: source-side wedge expansion (shifted-array
+    vectorized), pairs co-cited by >= 2 sources."""
+    from .ops.cocitation import cocitation_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        src = np.tile(did, 3)
+        dst = np.concatenate([(did * 7 + 1) % n, (did * 13 + 2) % n,
+                              (did * 29 + 3) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return cocitation_counts(edges, min_count=2)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3067,6 +3090,7 @@ QUERIES = {
     "weighted_doc_sample": q_weighted_doc_sample,
     "chunk_spans": q_chunk_spans,
     "snapshot_diff": q_snapshot_diff,
+    "cocitation_links": q_cocitation_links,
 }
 
 ORACLE_SQL = {
@@ -4450,3 +4474,22 @@ def _snapshot_diff_oracle() -> str:
 
 
 ORACLE_SQL["snapshot_diff"] = _snapshot_diff_oracle()
+
+
+def _cocitation_oracle() -> str:
+    from .ops.cocitation import oracle_cocitation_sql
+
+    edges = (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT src, dst FROM ("
+        "SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst "
+        "FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn)"
+    )
+    return oracle_cocitation_sql(edges, min_count=2)
+
+
+ORACLE_SQL["cocitation_links"] = _cocitation_oracle()
