@@ -2619,6 +2619,29 @@ def q_cocitation_links(sf_dir: str) -> "ray.data.Dataset":
     return cocitation_counts(edges, min_count=2)
 
 
+def q_zorder_events(sf_dir: str) -> "ray.data.Dataset":
+    """Morton locality keys over (user, hour) for events
+    (ops/zorder.py): 12-bit dims, 6-bit tile bucket — the layout pass
+    that makes 2-D range scans partition-prunable.  Pure streaming,
+    zero shuffles."""
+    from .ops.zorder import zorder_keys
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def dims(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].cast(pa.timestamp("us")).to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_id": b["event_id"],
+            "ux": pa.array(b["user_id"].to_numpy() & 0xFFF, pa.int64()),
+            "hy": pa.array((ts // 3_600_000_000) & 0xFFF, pa.int64()),
+        })
+
+    ds = ds.map_batches(dims, batch_format="pyarrow", zero_copy_batch=True)
+    return zorder_keys(ds, x_col="ux", y_col="hy", bits=12, bucket_bits=6)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3091,6 +3114,7 @@ QUERIES = {
     "chunk_spans": q_chunk_spans,
     "snapshot_diff": q_snapshot_diff,
     "cocitation_links": q_cocitation_links,
+    "zorder_events": q_zorder_events,
 }
 
 ORACLE_SQL = {
@@ -4493,3 +4517,20 @@ def _cocitation_oracle() -> str:
 
 
 ORACLE_SQL["cocitation_links"] = _cocitation_oracle()
+
+
+def _zorder_oracle() -> str:
+    from .ops.zorder import zorder_key_sql
+
+    z = zorder_key_sql("ux", "hy", bits=12)
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id & 4095 AS ux,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) & 4095 AS hy
+  FROM events
+)
+SELECT event_id, ux, hy, {z} AS zkey, {z} >> 18 AS zbucket FROM d
+"""
+
+
+ORACLE_SQL["zorder_events"] = _zorder_oracle()
