@@ -2642,6 +2642,19 @@ def q_zorder_events(sf_dir: str) -> "ray.data.Dataset":
     return zorder_keys(ds, x_col="ux", y_col="hy", bits=12, bucket_bits=6)
 
 
+def q_docs_above_p90(sf_dir: str) -> "ray.data.Dataset":
+    """Per-lang top-decile length gate (ops/quantiles.py composition):
+    histogram-exact p90 cut per lang, broadcast-or-join re-attach,
+    corpus rides at most one shuffle."""
+    from .ops.quantiles import filter_above_group_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return filter_above_group_quantile(ds, group_col="lang",
+                                       value_col="n_chars",
+                                       q_micro=900_000)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3115,6 +3128,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "cocitation_links": q_cocitation_links,
     "zorder_events": q_zorder_events,
+    "docs_above_p90": q_docs_above_p90,
 }
 
 ORACLE_SQL = {
@@ -4534,3 +4548,15 @@ SELECT event_id, ux, hy, {z} AS zkey, {z} >> 18 AS zbucket FROM d
 
 
 ORACLE_SQL["zorder_events"] = _zorder_oracle()
+
+
+def _docs_above_p90_oracle() -> str:
+    from .ops.quantiles import oracle_filter_quantile_sql
+
+    return oracle_filter_quantile_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        group_col="lang", value_col="n_chars", q_micro=900_000,
+        select="r.doc_id, r.lang, r.n_chars")
+
+
+ORACLE_SQL["docs_above_p90"] = _docs_above_p90_oracle()

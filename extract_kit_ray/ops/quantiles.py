@@ -126,3 +126,61 @@ WITH v AS (
 SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS {count_alias}, {picks}
 FROM v GROUP BY {group_col}
 """
+
+
+def filter_above_group_quantile(ds, *, group_col: str, value_col: str,
+                                q_micro: int,
+                                broadcast_max: int | None = None,
+                                num_partitions: int | None = None):
+    """Keep rows with ``value >= the group's q-quantile`` — the
+    per-domain "top decile by quality" gate, composed from
+    :func:`group_quantiles`.  The per-group cut table (ONE row per
+    group by construction) re-attaches by broadcast pandas merge under
+    ``config.broadcast_max_rows`` or an inner hash join above it;
+    either way the corpus rides at most one shuffle."""
+    import ray
+
+    from ..config import broadcast_max_rows, resolve_num_partitions
+    from .rayfix import typed_side
+
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
+    num_partitions = resolve_num_partitions(num_partitions)
+
+    cuts = group_quantiles(ds, group_col=group_col, value_col=value_col,
+                           qs_micro={"__cut": q_micro},
+                           num_partitions=num_partitions).materialize()
+
+    if cuts.count() <= broadcast_max:
+        lut = cuts.to_pandas()[[group_col, "__cut"]]
+        ref = ray.put(lut)
+
+        def keep(df: pd.DataFrame, *, ref=ref) -> pd.DataFrame:
+            cut = df.merge(ray.get(ref), on=group_col, how="left")
+            mask = (df[value_col].to_numpy()
+                    >= cut["__cut"].to_numpy())
+            return df[mask]
+
+        return ds.map_batches(keep, batch_format="pandas")
+
+    joined = ds.join(
+        typed_side(cuts.select_columns([group_col, "__cut"])),
+        join_type="inner", num_partitions=num_partitions, on=(group_col,))
+
+    def keep_joined(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df[value_col].to_numpy() >= df["__cut"].to_numpy()]
+        return out.drop(columns=["__cut"])
+
+    return joined.map_batches(keep_joined, batch_format="pandas")
+
+
+def oracle_filter_quantile_sql(rows_sql: str, *, group_col: str,
+                               value_col: str, q_micro: int,
+                               select: str = "*") -> str:
+    """DuckDB mirror of :func:`filter_above_group_quantile`."""
+    cuts = oracle_quantiles_sql(rows_sql, group_col=group_col,
+                                value_col=value_col,
+                                qs_micro={"__cut": q_micro})
+    return (f"SELECT {select} FROM ({rows_sql}) r JOIN ({cuts}) c "
+            f"ON r.{group_col} = c.{group_col} "
+            f"WHERE r.{value_col} >= c.__cut")
