@@ -20,6 +20,13 @@ payloads downstream, where needed, by doc_id).
 
 All arithmetic is int64-exact; the DuckDB oracle replays the same
 closed form over ``unnest(range(...))``.
+
+Relation to ``driver.q_chunk_docs`` / ops/textops.chunk_batch: that
+path MATERIALIZES word-window text (chunk rows carry the payload);
+this one plans SPANS ONLY from a size column — at 100 TB you plan
+spans first (narrow, groupable, joinable) and slice text once at the
+final write, instead of multiplying payload bytes through the
+pipeline.
 """
 
 from __future__ import annotations

@@ -29,6 +29,12 @@ Scale shape (same histogram trick as ops/grouprank.py):
 Output: one row per group — ``(group, n_<value>, <alias per q>)``.
 Values must be integers; the histogram is exact, so ties and skew are
 irrelevant to correctness (a hot value is ONE histogram row).
+
+Relation to ``driver.q_chars_quantiles_by_lang``: that round-4 query
+reads the per-group histogram off ON THE DRIVER (fine when groups are
+few); this op folds the read-off inside bucketed tasks, so a
+million-domain group column never lands driver-side, and it feeds the
+composable :func:`filter_above_group_quantile` gate.
 """
 
 from __future__ import annotations
