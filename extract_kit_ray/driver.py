@@ -2655,6 +2655,18 @@ def q_docs_above_p90(sf_dir: str) -> "ray.data.Dataset":
                                        q_micro=900_000)
 
 
+def q_event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Global Markov transition matrix over per-user event streams
+    (ops/transitions.py): user-bucket shuffle, one vectorized
+    shifted-array pass per bucket, LEAD-window oracle."""
+    from .ops.transitions import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ds)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3129,6 +3141,7 @@ QUERIES = {
     "cocitation_links": q_cocitation_links,
     "zorder_events": q_zorder_events,
     "docs_above_p90": q_docs_above_p90,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLE_SQL = {
@@ -4560,3 +4573,13 @@ def _docs_above_p90_oracle() -> str:
 
 
 ORACLE_SQL["docs_above_p90"] = _docs_above_p90_oracle()
+
+
+def _transitions_oracle() -> str:
+    from .ops.transitions import oracle_transitions_sql
+
+    return oracle_transitions_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events")
+
+
+ORACLE_SQL["event_transitions"] = _transitions_oracle()
