@@ -2667,6 +2667,17 @@ def q_event_transitions(sf_dir: str) -> "ray.data.Dataset":
     return transition_counts(ds)
 
 
+def q_daily_activity(sf_dir: str) -> "ray.data.Dataset":
+    """Daily active/new/returning user counts (ops/cohort.py
+    daily_activity) — same distinct user-day + cohort machinery as
+    cohort_retention, grouped by calendar day instead of cohort cell."""
+    from .ops.cohort import daily_activity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return daily_activity(ds)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3142,6 +3153,7 @@ QUERIES = {
     "zorder_events": q_zorder_events,
     "docs_above_p90": q_docs_above_p90,
     "event_transitions": q_event_transitions,
+    "daily_activity": q_daily_activity,
 }
 
 ORACLE_SQL = {
@@ -4583,3 +4595,12 @@ def _transitions_oracle() -> str:
 
 
 ORACLE_SQL["event_transitions"] = _transitions_oracle()
+
+
+def _daily_activity_oracle() -> str:
+    from .ops.cohort import oracle_daily_activity_sql
+
+    return oracle_daily_activity_sql("SELECT user_id, ts FROM events")
+
+
+ORACLE_SQL["daily_activity"] = _daily_activity_oracle()

@@ -65,3 +65,38 @@ def test_oracle_parity_random(ray_session, broadcast_max):
     assert got == {(int(c), int(o)): int(n) for c, o, n in
                    zip(want["cohort_day"], want["day_offset"],
                        want["n_users"])}
+
+
+def _run_daily(df, **kw):
+    import ray.data
+
+    from extract_kit_ray.ops.cohort import daily_activity
+
+    out = daily_activity(ray.data.from_pandas(df), num_partitions=2, **kw)
+    return {r["day"]: (r["n_active"], r["n_new"], r["n_returning"])
+            for r in out.take_all()}
+
+
+def test_daily_activity_basic(ray_session):
+    df = _mk([(1, 0), (2, 0), (1, DAY_S), (3, DAY_S)])
+    assert _run_daily(df) == {0: (2, 2, 0), 1: (2, 1, 1)}
+
+
+@pytest.mark.parametrize("broadcast_max", [0, 10**6])
+def test_daily_activity_oracle_parity(ray_session, broadcast_max):
+    from extract_kit_ray.ops.cohort import oracle_daily_activity_sql
+
+    rng = np.random.default_rng(109)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(rng.integers(0, 30 * DAY_S, n), unit="s"),
+    })
+    got = _run_daily(df, broadcast_max=broadcast_max)
+    con = duckdb.connect()
+    con.register("ev1", df)
+    want = con.execute(
+        oracle_daily_activity_sql("SELECT * FROM ev1")).df()
+    assert got == {int(d): (int(a), int(nw), int(r)) for d, a, nw, r in
+                   zip(want["day"], want["n_active"], want["n_new"],
+                       want["n_returning"])}
