@@ -2678,6 +2678,29 @@ def q_daily_activity(sf_dir: str) -> "ray.data.Dataset":
     return daily_activity(ds)
 
 
+def q_reciprocal_links(sf_dir: str) -> "ray.data.Dataset":
+    """Mutual-link pairs over the shared closed-form link graph
+    (ops/cocitation.reciprocal_links): row-local canonicalization +
+    ONE direction-flag groupby — a single corpus-keyed shuffle."""
+    from .ops.cocitation import reciprocal_links
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        src = np.tile(did, 3)
+        dst = np.concatenate([(did * 7 + 1) % n, (did * 13 + 2) % n,
+                              (did * 29 + 3) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return reciprocal_links(edges)
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3154,6 +3177,7 @@ QUERIES = {
     "docs_above_p90": q_docs_above_p90,
     "event_transitions": q_event_transitions,
     "daily_activity": q_daily_activity,
+    "reciprocal_links": q_reciprocal_links,
 }
 
 ORACLE_SQL = {
@@ -4604,3 +4628,22 @@ def _daily_activity_oracle() -> str:
 
 
 ORACLE_SQL["daily_activity"] = _daily_activity_oracle()
+
+
+def _reciprocal_oracle() -> str:
+    from .ops.cocitation import oracle_reciprocal_sql
+
+    edges = (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT src, dst FROM ("
+        "SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst "
+        "FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn "
+        "UNION "
+        "SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn)"
+    )
+    return oracle_reciprocal_sql(edges)
+
+
+ORACLE_SQL["reciprocal_links"] = _reciprocal_oracle()

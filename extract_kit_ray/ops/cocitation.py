@@ -114,3 +114,58 @@ SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
 FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
 GROUP BY 1, 2 {having}
 """
+
+
+def reciprocal_links(edges_ds, *, num_partitions: int | None = None):
+    """(src, dst) edge Dataset -> (a, b) pairs linked in BOTH
+    directions (a < b) — mutual-link detection, the web-spam /
+    link-farm signal (reciprocal linking rings) and the
+    undirected-core extractor for the graph family above.
+
+    Scale shape: edges canonicalize row-locally to (lo, hi, dir)
+    flags (dir 1 = lo->hi, dir 2 = hi->lo), then ONE
+    ``groupby(a, b)`` Max-folds each direction; a pair is mutual iff
+    both Maxes are set.  Self-loops drop; duplicate edges collapse in
+    the same groupby — a single corpus-keyed shuffle total.
+    """
+    from ray.data.aggregate import Max
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy().astype(np.int64)
+        d = batch["dst"].to_numpy().astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        fwd = (s < d)
+        return pa.table({
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+            "has_fwd": pa.array(fwd.astype(np.int64), pa.int64()),
+            "has_rev": pa.array((~fwd).astype(np.int64), pa.int64()),
+        })
+
+    folded = (edges_ds.map_batches(canon, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+              .groupby(["a", "b"])
+              .aggregate(Max("has_fwd", alias_name="has_fwd"),
+                         Max("has_rev", alias_name="has_rev")))
+
+    def keep_mutual(batch: pa.Table) -> pa.Table:
+        m = ((batch["has_fwd"].to_numpy() > 0)
+             & (batch["has_rev"].to_numpy() > 0))
+        return pa.table({"a": batch["a"].filter(pa.array(m)),
+                         "b": batch["b"].filter(pa.array(m))})
+
+    return folded.map_batches(keep_mutual, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def oracle_reciprocal_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`reciprocal_links`."""
+    return f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src != dst)
+SELECT e1.src AS a, e1.dst AS b
+FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+WHERE e1.src < e1.dst
+"""

@@ -60,3 +60,39 @@ def test_oracle_parity_random(ray_session, cap):
         "SELECT * FROM e0", min_count=2, max_out_degree=cap)).df()
     assert got == {(int(a), int(b)): int(c) for a, b, c in
                    zip(want["a"], want["b"], want["n_common"])}
+
+
+def _run_recip(df):
+    import ray.data
+
+    from extract_kit_ray.ops.cocitation import reciprocal_links
+
+    out = reciprocal_links(ray.data.from_pandas(df))
+    return sorted((r["a"], r["b"]) for r in out.take_all())
+
+
+def test_reciprocal_basic(ray_session):
+    df = pd.DataFrame({"src": [1, 2, 1, 3, 4],
+                       "dst": [2, 1, 3, 5, 4]})
+    # 1<->2 mutual; 1->3 one-way; 3->5 one-way; 4->4 self-loop dropped
+    assert _run_recip(df) == [(1, 2)]
+
+
+def test_reciprocal_duplicates_collapse(ray_session):
+    df = pd.DataFrame({"src": [1, 1, 2, 2], "dst": [2, 2, 1, 1]})
+    assert _run_recip(df) == [(1, 2)]
+
+
+def test_reciprocal_oracle_parity(ray_session):
+    from extract_kit_ray.ops.cocitation import oracle_reciprocal_sql
+
+    rng = np.random.default_rng(113)
+    n = 2000
+    df = pd.DataFrame({"src": rng.integers(0, 60, n),
+                       "dst": rng.integers(0, 60, n)})
+    got = _run_recip(df)
+    con = duckdb.connect()
+    con.register("e1", df)
+    want = con.execute(oracle_reciprocal_sql("SELECT * FROM e1")).df()
+    assert got == sorted((int(a), int(b)) for a, b in
+                         zip(want["a"], want["b"]))
