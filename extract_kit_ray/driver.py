@@ -2701,6 +2701,18 @@ def q_reciprocal_links(sf_dir: str) -> "ray.data.Dataset":
     return reciprocal_links(edges)
 
 
+def q_cube_doc_metrics(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY CUBE(source, lang) doc counters — all four grouping
+    subsets in the same ONE shuffle as rollup_doc_metrics
+    (ops/rollup.py mode='cube')."""
+    from .ops.rollup import rollup_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang", "n_chars"])
+    return rollup_aggregate(ds, ["source", "lang"], ["n_chars"],
+                            count_alias="n_docs", mode="cube")
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3178,6 +3190,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "daily_activity": q_daily_activity,
     "reciprocal_links": q_reciprocal_links,
+    "cube_doc_metrics": q_cube_doc_metrics,
 }
 
 ORACLE_SQL = {
@@ -4647,3 +4660,15 @@ def _reciprocal_oracle() -> str:
 
 
 ORACLE_SQL["reciprocal_links"] = _reciprocal_oracle()
+
+
+def _cube_oracle() -> str:
+    from .ops.rollup import oracle_rollup_sql
+
+    return oracle_rollup_sql(
+        "SELECT source, lang, n_chars FROM documents",
+        ["source", "lang"], ["n_chars"], count_alias="n_docs",
+        mode="cube")
+
+
+ORACLE_SQL["cube_doc_metrics"] = _cube_oracle()

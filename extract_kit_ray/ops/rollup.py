@@ -45,11 +45,14 @@ def _encode(s: pd.Series) -> pd.Series:
 
 def rollup_aggregate(ds, group_cols: list[str],
                      sum_cols: list[str] | None = None, *,
-                     count_alias: str = "n_rows"):
-    """Dataset -> ROLLUP(group_cols) Dataset with ``count_alias`` =
-    COUNT(*) and ``sum_<c>`` = SUM(c) for each ``sum_cols`` entry
+                     count_alias: str = "n_rows", mode: str = "rollup"):
+    """Dataset -> ROLLUP/CUBE(group_cols) Dataset with ``count_alias``
+    = COUNT(*) and ``sum_<c>`` = SUM(c) for each ``sum_cols`` entry
     (int64-cast — integer inputs only, by contract).  Rolled-up key
-    slots are NULL, SQL-style."""
+    slots are NULL, SQL-style.  ``mode='rollup'`` emits the k+1
+    hierarchy prefixes; ``mode='cube'`` all 2^k keep-subsets (map-side
+    partial count scales with the subset count — keep k small for
+    cube, exactly as in SQL)."""
     from ray.data.aggregate import Sum
 
     if not group_cols:
@@ -57,6 +60,15 @@ def rollup_aggregate(ds, group_cols: list[str],
     sum_cols = list(sum_cols or [])
     k = len(group_cols)
     out_sums = [f"sum_{c}" for c in sum_cols]
+    if mode == "rollup":
+        # keep-prefixes: {c1..ci} for i = k..0
+        subsets = [frozenset(group_cols[:i]) for i in range(k, -1, -1)]
+    elif mode == "cube":
+        subsets = [frozenset(c for j, c in enumerate(group_cols)
+                             if mask >> j & 1)
+                   for mask in range((1 << k) - 1, -1, -1)]
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -66,10 +78,11 @@ def rollup_aggregate(ds, group_cols: list[str],
             **{f"sum_{c}": df[c].to_numpy().astype(np.int64)
                for c in sum_cols},
         })
-        for level in range(k, -1, -1):
+        for keep in subsets:
             cur = base.copy()
-            for g in group_cols[level:]:
-                cur[g] = "*"
+            for g in group_cols:
+                if g not in keep:
+                    cur[g] = "*"
             if len(cur):
                 cur = cur.groupby(group_cols, as_index=False, sort=False)[
                     [count_alias] + out_sums].sum()
@@ -105,11 +118,14 @@ def rollup_aggregate(ds, group_cols: list[str],
 
 def oracle_rollup_sql(rows_sql: str, group_cols: list[str],
                       sum_cols: list[str] | None = None, *,
-                      count_alias: str = "n_rows") -> str:
+                      count_alias: str = "n_rows",
+                      mode: str = "rollup") -> str:
     """DuckDB mirror of :func:`rollup_aggregate`."""
+    if mode not in ("rollup", "cube"):
+        raise ValueError(f"unknown mode: {mode!r}")
     sum_cols = list(sum_cols or [])
     keys = ", ".join(group_cols)
     sums = "".join(f", CAST(SUM({c}) AS BIGINT) AS sum_{c}"
                    for c in sum_cols)
     return (f"SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS {count_alias}{sums} "
-            f"FROM ({rows_sql}) GROUP BY ROLLUP({keys})")
+            f"FROM ({rows_sql}) GROUP BY {mode.upper()}({keys})")

@@ -86,3 +86,52 @@ def test_three_level_oracle_parity(ray_session):
     })
     assert (_run(df, ["a", "b", "c"], ["v"])
             == _oracle(df, ["a", "b", "c"], ["v"]))
+
+
+def test_cube_two_cols(ray_session):
+    df = pd.DataFrame({"src": ["a", "b"], "lang": ["en", "en"]})
+    import ray.data
+
+    out = rollup_aggregate(ray.data.from_pandas(df), ["src", "lang"],
+                           mode="cube").take_all()
+    got = sorted((tuple(None if pd.isna(v) else v for v in r.values())
+                  for r in out), key=_key)
+    assert got == sorted([
+        ("a", "en", 1), ("b", "en", 1),
+        ("a", None, 1), ("b", None, 1),
+        (None, "en", 2),
+        (None, None, 2),
+    ], key=_key)
+
+
+def test_cube_oracle_parity_random(ray_session):
+    rng = np.random.default_rng(127)
+    n = 500
+    df = pd.DataFrame({
+        "src": rng.choice(["alpha", "beta", "gamma"], n),
+        "lang": rng.choice(["en", "fr"], n),
+        "v": rng.integers(0, 50, n),
+    })
+    import ray.data
+
+    out = rollup_aggregate(ray.data.from_pandas(df), ["src", "lang"],
+                           ["v"], mode="cube").take_all()
+    got = sorted((tuple(None if pd.isna(x) else x for x in r.values())
+                  for r in out), key=_key)
+    con = duckdb.connect()
+    con.register("t0", df)
+    tbl = con.execute(oracle_rollup_sql(
+        "SELECT * FROM t0", ["src", "lang"], ["v"], mode="cube")).df()
+    want = sorted((tuple(None if pd.isna(x) else
+                         (int(x) if isinstance(x, (np.integer, float)) else x)
+                         for x in row)
+                   for row in tbl.itertuples(index=False)), key=_key)
+    assert got == want
+
+
+def test_bad_mode_raises(ray_session):
+    import ray.data
+
+    with pytest.raises(ValueError):
+        rollup_aggregate(ray.data.from_pandas(pd.DataFrame({"a": ["x"]})),
+                         ["a"], mode="grouping")
