@@ -96,6 +96,24 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "semantic_dedup",
     "dataset_split",
+    # round-5 late additions
+    "hits_links",
+    "link_triangles",
+    "cocitation_links",
+    "reciprocal_links",
+    "funnel_conversion",
+    "cohort_retention",
+    "daily_activity",
+    "event_transitions",
+    "rollup_doc_metrics",
+    "rank_in_source",
+    "length_quantiles_by_lang",
+    "docs_above_p90",
+    "term_cooccurrence",
+    "weighted_doc_sample",
+    "chunk_spans",
+    "snapshot_diff",
+    "zorder_events",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so
