@@ -2713,6 +2713,59 @@ def q_cube_doc_metrics(sf_dir: str) -> "ray.data.Dataset":
                             count_alias="n_docs", mode="cube")
 
 
+def q_user_active_time(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user active-time accounting (ops/intervals.py): each event
+    opens a 30-minute activity window; overlapping windows merge
+    (gaps-and-islands) into sessions.  One 24-byte-row bucket shuffle,
+    per-bucket vectorized sweep; windowed MAX-OVER oracle."""
+    from .ops.intervals import interval_union_per_key
+
+    window_us = 1_800_000_000  # 30 min
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def to_iv(batch: pa.Table) -> pa.Table:
+        s = (batch["ts"].cast(pa.timestamp("us")).to_numpy()
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"user_id": batch["user_id"].cast(pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(s + window_us, pa.int64())})
+
+    out = interval_union_per_key(
+        ds.map_batches(to_iv, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="user_id", start_col="s", end_col="e")
+    return out.map_batches(
+        lambda t: t.rename_columns(["user_id", "n_sessions", "active_us"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_customer_running_spend(sf_dir: str) -> "ray.data.Dataset":
+    """Per-customer running spend (ops/running.py): every order row +
+    the cumulative cents its customer has spent up to it, ordered by
+    (order date, order key).  The per-key windowed prefix-sum sibling
+    of token_budget_select's global scan; SUM-OVER oracle."""
+    from .ops.running import running_total
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        od = (batch["o_orderdate"].cast(pa.timestamp("us")).to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"o_custkey": batch["o_custkey"].cast(pa.int64()),
+                         "od_us": pa.array(od, pa.int64()),
+                         "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                         "spend_cents": cents(batch["o_totalprice"])})
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return running_total(rows, key_col="o_custkey",
+                         order_cols=["od_us", "o_orderkey"],
+                         value_col="spend_cents", out_col="running_cents")
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3191,6 +3244,8 @@ QUERIES = {
     "daily_activity": q_daily_activity,
     "reciprocal_links": q_reciprocal_links,
     "cube_doc_metrics": q_cube_doc_metrics,
+    "user_active_time": q_user_active_time,
+    "customer_running_spend": q_customer_running_spend,
 }
 
 ORACLE_SQL = {
@@ -4672,3 +4727,30 @@ def _cube_oracle() -> str:
 
 
 ORACLE_SQL["cube_doc_metrics"] = _cube_oracle()
+
+
+def _active_time_oracle() -> str:
+    from .ops.intervals import oracle_interval_union_sql
+
+    inner = oracle_interval_union_sql(
+        "SELECT user_id AS key, CAST(epoch_us(ts) AS BIGINT) AS s, "
+        "CAST(epoch_us(ts) AS BIGINT) + 1800000000 AS e FROM events")
+    return (f"SELECT key AS user_id, n_islands AS n_sessions, "
+            f"covered AS active_us FROM ({inner})")
+
+
+ORACLE_SQL["user_active_time"] = _active_time_oracle()
+
+
+def _running_spend_oracle() -> str:
+    from .ops.running import oracle_running_total_sql
+
+    return oracle_running_total_sql(
+        "SELECT o_custkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS od_us, "
+        "o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS "
+        "spend_cents FROM orders",
+        key_col="o_custkey", order_cols=["od_us", "o_orderkey"],
+        value_col="spend_cents", out_col="running_cents")
+
+
+ORACLE_SQL["customer_running_spend"] = _running_spend_oracle()
