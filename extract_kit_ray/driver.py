@@ -2766,6 +2766,23 @@ def q_customer_running_spend(sf_dir: str) -> "ray.data.Dataset":
                          value_col="spend_cents", out_col="running_cents")
 
 
+def q_cms_user_counts(sf_dir: str) -> pa.Table:
+    """Count-Min sketched per-user event counts (ops/cms.py): one
+    map-side bincount pass + a d*width-bounded slot groupby; probes
+    user ids 0..199 against the collected constant-size matrix.  The
+    fixed multiplicative hash rows make the DuckDB oracle replay the
+    ESTIMATE exactly, collisions included (width 256 < user count at
+    sf0.1, so collisions genuinely occur there)."""
+    from .ops.cms import cms_probe_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return cms_probe_counts(ds, key_col="user_id",
+                            probes=np.arange(200, dtype=np.int64),
+                            depth=4, width=256,
+                            probe_col="user_id", est_col="est_n")
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3246,6 +3263,7 @@ QUERIES = {
     "cube_doc_metrics": q_cube_doc_metrics,
     "user_active_time": q_user_active_time,
     "customer_running_spend": q_customer_running_spend,
+    "cms_user_counts": q_cms_user_counts,
 }
 
 ORACLE_SQL = {
@@ -4754,3 +4772,15 @@ def _running_spend_oracle() -> str:
 
 
 ORACLE_SQL["customer_running_spend"] = _running_spend_oracle()
+
+
+def _cms_oracle() -> str:
+    from .ops.cms import oracle_cms_sql
+
+    return oracle_cms_sql(
+        "SELECT user_id FROM events", key_col="user_id",
+        probes_sql="SELECT CAST(range AS BIGINT) AS k FROM range(0, 200)",
+        depth=4, width=256, probe_col="user_id", est_col="est_n")
+
+
+ORACLE_SQL["cms_user_counts"] = _cms_oracle()
