@@ -114,6 +114,14 @@ BENCH_QUERIES = [
     "chunk_spans",
     "snapshot_diff",
     "zorder_events",
+    # round-5 final-session additions
+    "user_active_time",
+    "customer_running_spend",
+    "cms_user_counts",
+    "event_type_pivot",
+    "dominant_lang_per_source",
+    "corpus_checksum",
+    "revenue_by_nation",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so
@@ -332,8 +340,14 @@ def main() -> None:
         # runs per leg, best-of taken per leg: the sandbox VM has heavy
         # run-to-run CPU noise (±40% observed) that a single sample
         # cannot distinguish from real scaling behavior.
-        # sized so fixed startup (~3s worker spawn + actor init) stays a
-        # small fraction of the 32-CPU leg's wall time
+        # sized so fixed startup (worker spawn + actor init + corpus
+        # open, ~9s measured by solving the two legs' walls at 600k)
+        # stays a small fraction of the 32-CPU leg's wall time.  A
+        # 1.5M-doc variant was measured and REJECTED: the 8-CPU leg
+        # amortizes further (8.1k docs/s) but the 32-CPU leg did not
+        # improve within the VM's 39% attempt-to-attempt swing
+        # (14.6k/20.3k docs/s), reading efficiency 0.62 — see
+        # BASELINE.md round-5 section for the full numbers.
         docs = args.docs if args.docs != BENCH_DOCS else int(
             os.environ.get("GRAFT_SCALING_DOCS", "600000"))
         runs: dict[int, list[dict]] = {8: [], 32: []}

@@ -2783,6 +2783,118 @@ def q_cms_user_counts(sf_dir: str) -> pa.Table:
                             probe_col="user_id", est_col="est_n")
 
 
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def q_event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user behavior vector (ops/pivot.py): long event stream ->
+    one wide row per user with a count column per event type.  One
+    vectorized crosstab per batch (map-side combine), ONE key groupby
+    summing the k int64 columns; FILTER-clause oracle."""
+    from .ops.pivot import pivot_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return pivot_counts(ds, key_col="user_id", cat_col="event_type",
+                        categories=_EVENT_TYPES)
+
+
+def q_dominant_lang_per_source(sf_dir: str) -> "ray.data.Dataset":
+    """Group-wise MODE by composition: (source, lang) counts via one
+    groupby, then ops/keepbest.keep_best picks each source's most
+    frequent language (ties -> smallest lang, a total order, so the
+    row_number oracle replays the winner exactly)."""
+    from ray.data.aggregate import Count
+
+    from .ops.keepbest import keep_best
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+    counts = ds.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n"))
+    return keep_best(counts, key_col="source", order_cols=["n", "lang"],
+                     descending=[True, False])
+
+
+def q_corpus_checksum(sf_dir: str) -> pa.Table:
+    """Order-invariant corpus checksum (ops/checksum.py): sum of 60-bit
+    md5 row hashes mod 2^61-1 via a constant-size block-accumulate +
+    tree-merge AggregateFn — the migration-validation primitive (equal
+    outputs <=> equal (doc_id, text) multisets, mod collisions)."""
+    from .ops.checksum import corpus_checksum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return corpus_checksum(ds, cols=["doc_id", "text"])
+
+
+def q_revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q5-style multi-join chain: lineitem (read filtered on
+    l_shipdate — the FIRST query exercising read_parquet(filter=...)
+    row-group pruning) -> hash join orders -> hash join customer ->
+    25-row nation broadcast -> map-side centicent rollup + one tiny
+    groupby.  Two big-big exchanges sharing the 8-partition default;
+    revenue integerized per row (the revenue_by_brand convention).
+    At real 100 TB scale the centicent sums need the HUGEINT-headroom
+    treatment documented for pagerank (int64 holds to ~SF 10^4)."""
+    import datetime as _dt
+
+    import ray as _ray
+
+    cutoff = _dt.datetime(1996, 1, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate")
+                >= pa.scalar(cutoff, pa.timestamp("us"))))
+
+    def to_rev(batch: pa.Table) -> pa.Table:
+        price_c = cents(batch["l_extendedprice"])
+        disc_pct = cents(batch["l_discount"])
+        centicents = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "centicents": centicents})
+
+    li = li.map_batches(to_rev, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    j1 = li.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey", "c_nationkey"])
+    j2 = j1.join(customer, join_type="inner", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(nation["n_nationkey"].to_pylist(),
+                           nation["n_name"].to_pylist()))
+    name_ref = _ray.put(name_by_key)
+
+    class NationRollup:
+        def __init__(self):
+            self.name_by_key = _ray.get(name_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = [self.name_by_key.get(k, "")
+                     for k in batch["c_nationkey"].to_pylist()]
+            g = (pa.table({"n_name": pa.array(names, pa.string()),
+                           "one": pa.array([1] * len(batch), pa.int64()),
+                           "centicents": batch["centicents"]})
+                 .group_by("n_name")
+                 .aggregate([("one", "sum"), ("centicents", "sum")]))
+            return g.rename_columns(
+                ["n_name", "n_items", "revenue_centicents"])
+
+    partials = j2.map_batches(NationRollup, batch_format="pyarrow",
+                              zero_copy_batch=True, **_pool())
+    return partials.groupby("n_name").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_centicents", alias_name="revenue_centicents"))
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3264,6 +3376,10 @@ QUERIES = {
     "user_active_time": q_user_active_time,
     "customer_running_spend": q_customer_running_spend,
     "cms_user_counts": q_cms_user_counts,
+    "event_type_pivot": q_event_type_pivot,
+    "dominant_lang_per_source": q_dominant_lang_per_source,
+    "corpus_checksum": q_corpus_checksum,
+    "revenue_by_nation": q_revenue_by_nation,
 }
 
 ORACLE_SQL = {
@@ -4784,3 +4900,46 @@ def _cms_oracle() -> str:
 
 
 ORACLE_SQL["cms_user_counts"] = _cms_oracle()
+
+
+def _pivot_oracle() -> str:
+    from .ops.pivot import oracle_pivot_sql
+
+    return oracle_pivot_sql("SELECT user_id, event_type FROM events",
+                            key_col="user_id", cat_col="event_type",
+                            categories=_EVENT_TYPES)
+
+
+ORACLE_SQL["event_type_pivot"] = _pivot_oracle()
+
+ORACLE_SQL["dominant_lang_per_source"] = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n FROM c
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) = 1
+"""
+
+
+def _checksum_oracle() -> str:
+    from .ops.checksum import oracle_checksum_sql
+
+    return oracle_checksum_sql("SELECT doc_id, text FROM documents",
+                               cols=["doc_id", "text"])
+
+
+ORACLE_SQL["corpus_checksum"] = _checksum_oracle()
+
+ORACLE_SQL["revenue_by_nation"] = """
+SELECT n.n_name, count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_centicents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+"""
