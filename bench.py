@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "dominant_lang_per_source",
     "corpus_checksum",
     "revenue_by_nation",
+    "profile_documents",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

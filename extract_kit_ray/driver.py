@@ -2895,6 +2895,21 @@ def q_revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
         Sum("revenue_centicents", alias_name="revenue_centicents"))
 
 
+def q_profile_documents(sf_dir: str) -> pa.Table:
+    """ANALYZE-style table profile (ops/profile.py): per-column
+    row/null counts, EXACT distinct counts and typed min/max over the
+    documents table — stats pass is pure map-side combine; the
+    distinct pass's (col, val) exchange is the one exact-ANALYZE
+    shuffle.  UNION-ALL-of-aggregates oracle."""
+    from .ops.profile import profile_table
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars", "lang", "source"])
+    return profile_table(ds, int_cols=["doc_id", "n_chars"],
+                         str_cols=["lang", "source"])
+
+
 _QMODEL_TERMS = ["data", "stream", "value", "the", "of", "vector",
                  "small", "pipeline"]
 _QMODEL_BIAS = -500_000
@@ -3380,6 +3395,7 @@ QUERIES = {
     "dominant_lang_per_source": q_dominant_lang_per_source,
     "corpus_checksum": q_corpus_checksum,
     "revenue_by_nation": q_revenue_by_nation,
+    "profile_documents": q_profile_documents,
 }
 
 ORACLE_SQL = {
@@ -4943,3 +4959,14 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY n.n_name
 """
+
+
+def _profile_oracle() -> str:
+    from .ops.profile import oracle_profile_sql
+
+    return oracle_profile_sql(
+        "SELECT doc_id, n_chars, lang, source FROM documents",
+        int_cols=["doc_id", "n_chars"], str_cols=["lang", "source"])
+
+
+ORACLE_SQL["profile_documents"] = _profile_oracle()
