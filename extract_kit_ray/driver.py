@@ -3285,6 +3285,84 @@ def q_dataset_split(sf_dir: str) -> "ray.data.Dataset":
     return hash_split(ds, key_col="doc_id", weights=_SPLIT_WEIGHTS)
 
 
+_CHAIN_HASH_MOD = 1_000_003
+_CHAIN_HASH_MULT = 2_654_435_761
+
+
+def q_link_components(sf_dir: str) -> "ray.data.Dataset":
+    """Connected components (ops/components.py hash-to-min, Rastogi et
+    al. 2013) over a deterministic chain graph: an undirected edge
+    joins doc i and i+1 unless the integer hash of i marks a break
+    (~1/4 of positions), giving geometric-length islands.  The engine
+    runs the generic O(log diameter)-round algorithm oblivious to the
+    closed form; the oracle knows it and spells a gaps-and-islands
+    window scan (component rep = last break at or before doc_id)."""
+    from .ops.components import connected_components_ds
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n = ds.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        h = ((did % _CHAIN_HASH_MOD) * _CHAIN_HASH_MULT
+             % 4294967296 >> 13) % 4
+        keep = (h != 0) & (did + 1 < n)
+        src = did[keep]
+        return pa.table({"key_a": pa.array(src, pa.int64()),
+                         "key_b": pa.array(src + 1, pa.int64())})
+
+    pairs = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return connected_components_ds(pairs, ds, key_col="doc_id")
+
+
+def q_ntile_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """NTILE(4) length quartiles within each lang (ops/ntile.py): the
+    (lang, composite) histogram rank from ops/grouprank.py + the NTILE
+    closed form — no corpus sort.  The doc_id tiebreak makes the
+    ordering total (NTILE over ties is engine-dependent)."""
+    from .ops.ntile import ntile_in_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return ntile_in_group(ds, group_col="lang", value_col="n_chars",
+                          tiebreak_col="doc_id", k=4)
+
+
+def q_daily_change_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Day-over-day event-count deltas per type (ops/lagdiff.py): ONE
+    map-side-combined count shuffle, then a broadcast-or-join attach of
+    the adjacent previous day (prev = day - 1, deterministic under
+    sparse days — not LAG's previous-existing-row)."""
+    from .ops.lagdiff import period_over_period
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "day": pa.array(us // 86_400_000_000, pa.int64())})
+
+    return period_over_period(
+        ds.map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="event_type", period_col="day")
+
+
+def q_typo_term_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """FastSS deletion-neighborhood similarity join (ops/fastss.py):
+    vocabulary term pairs within Levenshtein distance 2 via shared
+    <=2-deletion variants + exact DP verify — one variant-keyed
+    shuffle, never O(V^2); the oracle cross-joins the identically
+    capped vocabulary with DuckDB's levenshtein."""
+    from .ops.fastss import capped_vocab, editk_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return editk_pairs(capped_vocab(ds))
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -3396,6 +3474,10 @@ QUERIES = {
     "corpus_checksum": q_corpus_checksum,
     "revenue_by_nation": q_revenue_by_nation,
     "profile_documents": q_profile_documents,
+    "link_components": q_link_components,
+    "ntile_by_lang": q_ntile_by_lang,
+    "daily_change_by_type": q_daily_change_by_type,
+    "typo_term_pairs": q_typo_term_pairs,
 }
 
 ORACLE_SQL = {
@@ -4970,3 +5052,56 @@ def _profile_oracle() -> str:
 
 
 ORACLE_SQL["profile_documents"] = _profile_oracle()
+
+
+# chain-graph connected components: the oracle knows the closed form
+# (islands broken where the hash marks a break) and labels each doc
+# with the last break at or before it — gaps-and-islands
+ORACLE_SQL["link_components"] = f"""
+WITH flags AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 0 THEN 1
+              WHEN ((((doc_id - 1) % {_CHAIN_HASH_MOD}) *
+                     {_CHAIN_HASH_MULT}) % 4294967296 // 8192) % 4 = 0
+              THEN 1 ELSE 0 END AS brk
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+         MAX(CASE WHEN brk = 1 THEN doc_id END) OVER
+           (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cluster_rep
+  FROM flags
+)
+SELECT doc_id, CAST(cluster_rep AS BIGINT) AS cluster_rep FROM lab
+"""
+
+
+def _ntile_oracle() -> str:
+    from .ops.ntile import oracle_ntile_sql
+
+    return oracle_ntile_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        group_col="lang", value_col="n_chars", tiebreak_col="doc_id", k=4)
+
+
+ORACLE_SQL["ntile_by_lang"] = _ntile_oracle()
+
+
+def _daily_change_oracle() -> str:
+    from .ops.lagdiff import oracle_period_over_period_sql
+
+    return oracle_period_over_period_sql(
+        "SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 "
+        "AS day FROM events",
+        key_col="event_type", period_col="day")
+
+
+ORACLE_SQL["daily_change_by_type"] = _daily_change_oracle()
+
+
+def _typo_pairs_oracle() -> str:
+    from .ops.fastss import oracle_editk_pairs_sql
+
+    return oracle_editk_pairs_sql("SELECT text FROM documents")
+
+
+ORACLE_SQL["typo_term_pairs"] = _typo_pairs_oracle()
