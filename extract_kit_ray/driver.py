@@ -3363,6 +3363,44 @@ def q_typo_term_pairs(sf_dir: str) -> "ray.data.Dataset":
     return editk_pairs(capped_vocab(ds))
 
 
+def q_mad_outlier_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Robust per-lang length outliers (ops/mad.py): |n_chars - median|
+    > 2 * MAD, both medians exact integer rank-rule quantiles — two
+    histogram shuffles + two broadcast-or-join attaches, no corpus
+    sort, hash-exact vs the double-ROW_NUMBER oracle."""
+    from .ops.mad import mad_outliers
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return mad_outliers(ds, group_col="lang", value_col="n_chars",
+                        mult=2, id_cols=("doc_id",))
+
+
+def q_source_share_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Ratio-to-report (ops/share.py): each source's share of its
+    lang's docs in integer basis points — ONE corpus count shuffle,
+    parent totals re-aggregated from the tiny count table."""
+    from .ops.share import share_of_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+    return share_of_group(ds, group_col="lang", sub_col="source")
+
+
+def q_corr_moments_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Bivariate moment sketch (ops/moments.py): exact int64 sufficient
+    statistics for corr(n_chars, n_tokens) per lang in one map-side-
+    combined pass — the float corr itself is not cross-engine
+    reproducible, the six integers are."""
+    from .ops.moments import group_moments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars", "text"])
+    with_tok = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return group_moments(with_tok, group_col="lang",
+                         x_col="n_chars", y_col="n_tokens_ws")
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -3478,6 +3516,9 @@ QUERIES = {
     "ntile_by_lang": q_ntile_by_lang,
     "daily_change_by_type": q_daily_change_by_type,
     "typo_term_pairs": q_typo_term_pairs,
+    "mad_outlier_docs": q_mad_outlier_docs,
+    "source_share_by_lang": q_source_share_by_lang,
+    "corr_moments_by_lang": q_corr_moments_by_lang,
 }
 
 ORACLE_SQL = {
@@ -5105,3 +5146,37 @@ def _typo_pairs_oracle() -> str:
 
 
 ORACLE_SQL["typo_term_pairs"] = _typo_pairs_oracle()
+
+
+def _mad_oracle() -> str:
+    from .ops.mad import oracle_mad_outliers_sql
+
+    return oracle_mad_outliers_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        group_col="lang", value_col="n_chars", mult=2, id_cols=("doc_id",))
+
+
+ORACLE_SQL["mad_outlier_docs"] = _mad_oracle()
+
+
+def _share_oracle() -> str:
+    from .ops.share import oracle_share_sql
+
+    return oracle_share_sql("SELECT lang, source FROM documents",
+                            group_col="lang", sub_col="source")
+
+
+ORACLE_SQL["source_share_by_lang"] = _share_oracle()
+
+
+def _moments_oracle() -> str:
+    from .ops.moments import oracle_moments_sql
+
+    return oracle_moments_sql(
+        "SELECT lang, n_chars, len(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+        "AS n_tokens_ws FROM documents",
+        group_col="lang", x_col="n_chars", y_col="n_tokens_ws")
+
+
+ORACLE_SQL["corr_moments_by_lang"] = _moments_oracle()
