@@ -3401,6 +3401,38 @@ def q_corr_moments_by_lang(sf_dir: str) -> "ray.data.Dataset":
                          x_col="n_chars", y_col="n_tokens_ws")
 
 
+def q_skyline_docs(sf_dir: str) -> "ray.data.Dataset":
+    """2-D Pareto frontier (ops/skyline.py): docs where no other doc
+    has BOTH fewer chars and more tokens — local skyline per batch
+    (vectorized group-max + running max), one small merge pass.  The
+    anti-correlated orientation (minimize chars, maximize tokens) keeps
+    the frontier non-trivial (~dozens of points)."""
+    from .ops.skyline import skyline2d
+    from .ops.textops import token_count_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars", "text"])
+    with_tok = ds.map_batches(token_count_batch, batch_format="pyarrow"
+                              ).select_columns(
+                                  ["doc_id", "n_chars", "n_tokens_ws"])
+    return skyline2d(with_tok, x_col="n_chars", y_col="n_tokens_ws",
+                     maximize_x=False, maximize_y=True,
+                     id_cols=("doc_id",))
+
+
+def q_type_coengagement(sf_dir: str) -> "ray.data.Dataset":
+    """Category co-engagement pair counts (ops/coengage.py): distinct
+    (user, type) -> per-user int64 bitmask fold -> vectorized pair
+    containment partials; the |C|^2/2 pair expansion never rides a
+    shuffle."""
+    from .ops.coengage import coengagement_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return coengagement_pairs(ds, user_col="user_id",
+                              cat_col="event_type")
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -3519,6 +3551,8 @@ QUERIES = {
     "mad_outlier_docs": q_mad_outlier_docs,
     "source_share_by_lang": q_source_share_by_lang,
     "corr_moments_by_lang": q_corr_moments_by_lang,
+    "skyline_docs": q_skyline_docs,
+    "type_coengagement": q_type_coengagement,
 }
 
 ORACLE_SQL = {
@@ -5180,3 +5214,28 @@ def _moments_oracle() -> str:
 
 
 ORACLE_SQL["corr_moments_by_lang"] = _moments_oracle()
+
+
+def _skyline_oracle() -> str:
+    from .ops.skyline import oracle_skyline_sql
+
+    return oracle_skyline_sql(
+        "SELECT doc_id, n_chars, len(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+        "AS n_tokens_ws FROM documents",
+        x_col="n_chars", y_col="n_tokens_ws",
+        maximize_x=False, maximize_y=True, id_cols=("doc_id",))
+
+
+ORACLE_SQL["skyline_docs"] = _skyline_oracle()
+
+
+def _coengagement_oracle() -> str:
+    from .ops.coengage import oracle_coengagement_sql
+
+    return oracle_coengagement_sql(
+        "SELECT user_id, event_type FROM events",
+        user_col="user_id", cat_col="event_type")
+
+
+ORACLE_SQL["type_coengagement"] = _coengagement_oracle()
