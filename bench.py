@@ -123,6 +123,16 @@ BENCH_QUERIES = [
     "corpus_checksum",
     "revenue_by_nation",
     "profile_documents",
+    # round-5 closing additions
+    "link_components",
+    "ntile_by_lang",
+    "daily_change_by_type",
+    "typo_term_pairs",
+    "mad_outlier_docs",
+    "source_share_by_lang",
+    "corr_moments_by_lang",
+    "skyline_docs",
+    "type_coengagement",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -3341,7 +3341,8 @@ def q_daily_change_by_type(sf_dir: str) -> "ray.data.Dataset":
                                columns=["event_type", "ts"])
 
     def add_day(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({"event_type": batch["event_type"],
                          "day": pa.array(us // 86_400_000_000, pa.int64())})
 
@@ -3431,6 +3432,67 @@ def q_type_coengagement(sf_dir: str) -> "ray.data.Dataset":
                                columns=["user_id", "event_type"])
     return coengagement_pairs(ds, user_col="user_id",
                               cat_col="event_type")
+
+
+def q_anomalous_days(sf_dir: str) -> "ray.data.Dataset":
+    """Composition: daily event counts per type (the lagdiff count
+    shuffle) -> MAD outlier gate over the per-type day-count
+    distribution (ops/mad.py with mult=1) — "which days were abnormal
+    for this event type", the standard robust burst detector."""
+    from .ops.lagdiff import daily_counts
+    from .ops.mad import mad_outliers
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    counts = daily_counts(ds, key_col="event_type", ts_col="ts")
+    return mad_outliers(counts, group_col="event_type", value_col="n",
+                        mult=1, id_cols=("day",))
+
+
+_HIST_WIDTH = 200
+
+
+def q_length_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Equi-width doc-length histogram per lang: bucket floor =
+    n_chars // W * W — pure map-side arithmetic + ONE small groupby
+    (the bucketed sibling of the exact value histograms that power
+    ops/quantiles.py)."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy()
+        return pa.table({
+            "lang": batch["lang"],
+            "bucket": pa.array(n // _HIST_WIDTH * _HIST_WIDTH, pa.int64()),
+        })
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["lang", "bucket"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
+def q_lexical_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc type/token counts (lexical diversity numerator and
+    denominator as exact ints — the float ratio is derived driver-side
+    when wanted): one streaming map_batches, no shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = [t.split() if t else [] for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array([len(t) for t in toks], pa.int64()),
+            "n_distinct_tokens": pa.array([len(set(t)) for t in toks],
+                                          pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 QUERIES = {
@@ -3553,6 +3615,9 @@ QUERIES = {
     "corr_moments_by_lang": q_corr_moments_by_lang,
     "skyline_docs": q_skyline_docs,
     "type_coengagement": q_type_coengagement,
+    "anomalous_days": q_anomalous_days,
+    "length_histogram": q_length_histogram,
+    "lexical_diversity": q_lexical_diversity,
 }
 
 ORACLE_SQL = {
@@ -5239,3 +5304,32 @@ def _coengagement_oracle() -> str:
 
 
 ORACLE_SQL["type_coengagement"] = _coengagement_oracle()
+
+
+def _anomalous_days_oracle() -> str:
+    from .ops.lagdiff import oracle_daily_counts_sql
+    from .ops.mad import oracle_mad_outliers_sql
+
+    counts = oracle_daily_counts_sql(
+        "SELECT event_type, ts FROM events",
+        key_col="event_type", ts_col="ts")
+    return oracle_mad_outliers_sql(counts, group_col="event_type",
+                                   value_col="n", mult=1,
+                                   id_cols=("day",))
+
+
+ORACLE_SQL["anomalous_days"] = _anomalous_days_oracle()
+
+ORACLE_SQL["length_histogram"] = (
+    "SELECT lang, n_chars // 200 * 200 AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1, 2"
+)
+
+ORACLE_SQL["lexical_diversity"] = (
+    "SELECT doc_id, "
+    "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+    "AS n_tokens, "
+    "len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), "
+    "x -> x <> ''))) AS n_distinct_tokens "
+    "FROM documents"
+)

@@ -24,6 +24,49 @@ import pandas as pd
 import pyarrow as pa
 
 
+DAY_US = 86_400_000_000
+
+
+def daily_counts(ds, *, key_col: str, ts_col: str, day_alias: str = "day",
+                 n_alias: str = "n", bucket_us: int = DAY_US):
+    """Timestamped rows -> one row per (key, epoch-day): int64 counts,
+    map-side combined (the shared front half of period_over_period)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # normalize the unit first: a ns-resolution source cast
+        # straight to int64 would yield nanoseconds and shift every day
+        us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key_col: batch[key_col].to_pandas(),
+                           day_alias: us // bucket_us})
+        out = (df.groupby([key_col, day_alias], as_index=False, sort=False)
+               .size().rename(columns={"size": "__c"}))
+        return pa.table({
+            key_col: pa.Array.from_pandas(out[key_col]),
+            day_alias: pa.array(out[day_alias].to_numpy(np.int64),
+                                pa.int64()),
+            "__c": pa.array(out["__c"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([key_col, day_alias])
+            .aggregate(Sum("__c", alias_name=n_alias)))
+
+
+def oracle_daily_counts_sql(rows_sql: str, *, key_col: str, ts_col: str,
+                            day_alias: str = "day", n_alias: str = "n",
+                            bucket_us: int = DAY_US) -> str:
+    """DuckDB mirror of :func:`daily_counts`."""
+    return (f"SELECT {key_col}, CAST(epoch_us({ts_col}) AS BIGINT) "
+            f"// {bucket_us} AS {day_alias}, "
+            f"CAST(COUNT(*) AS BIGINT) AS {n_alias} "
+            f"FROM ({rows_sql}) GROUP BY 1, 2")
+
+
 def period_over_period(ds, *, key_col: str, period_col: str,
                        n_alias: str = "n", prev_alias: str = "prev_n",
                        delta_alias: str = "delta",

@@ -122,7 +122,10 @@ def oracle_mad_outliers_sql(rows_sql: str, *, group_col: str,
                             id_cols: tuple[str, ...] = ()) -> str:
     """DuckDB mirror of :func:`mad_outliers` — the integer rank rule
     spelled twice (median, then MAD) over ROW_NUMBER windows."""
-    rank = f"GREATEST(({_MED_MICRO} * n + 999999) // 1000000, 1)"
+    # __cnt, not "n": a caller whose value_col is literally "n" (e.g.
+    # a count table) would otherwise shadow the window count in the
+    # rank expression and silently produce a wrong median
+    rank = f"GREATEST(({_MED_MICRO} * __cnt + 999999) // 1000000, 1)"
     ids = "".join(f"d.{c}, " for c in id_cols)
     return f"""
 WITH base AS ({rows_sql}),
@@ -130,7 +133,7 @@ r1 AS (
   SELECT {group_col}, {value_col},
          ROW_NUMBER() OVER (PARTITION BY {group_col}
                             ORDER BY {value_col}) AS rn,
-         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+         COUNT(*) OVER (PARTITION BY {group_col}) AS __cnt
   FROM base
 ),
 med AS (
@@ -146,7 +149,7 @@ d AS (
 r2 AS (
   SELECT {group_col}, dev,
          ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY dev) AS rn,
-         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+         COUNT(*) OVER (PARTITION BY {group_col}) AS __cnt
   FROM d
 ),
 mad AS (

@@ -58,3 +58,27 @@ def test_oracle_parity_random(ray_session, broadcast_max):
     assert got == sorted(
         (k, int(p), int(c), norm(pn), norm(d)) for k, p, c, pn, d in
         zip(want["k"], want["p"], want["n"], want["prev_n"], want["delta"]))
+
+
+def test_daily_counts_oracle_parity(ray_session):
+    import ray.data
+
+    from extract_kit_ray.ops.lagdiff import (daily_counts,
+                                             oracle_daily_counts_sql)
+
+    rng = np.random.default_rng(91)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "ts": pd.to_datetime(
+            rng.integers(1_600_000_000, 1_600_900_000, n), unit="s"),
+    })
+    out = daily_counts(ray.data.from_pandas(df), key_col="k", ts_col="ts")
+    got = sorted((r["k"], int(r["day"]), int(r["n"]))
+                 for r in out.take_all())
+    con = duckdb.connect()
+    con.register("t0", df)
+    want = con.execute(oracle_daily_counts_sql(
+        "SELECT * FROM t0", key_col="k", ts_col="ts")).df()
+    assert got == sorted((k, int(d), int(c)) for k, d, c in
+                         zip(want["k"], want["day"], want["n"]))

@@ -112,3 +112,34 @@ def test_moments_overflow_guard(ray_session):
     with pytest.raises(Exception, match="int64|OverflowError"):
         group_moments(ray.data.from_pandas(df), group_col="g",
                       x_col="x", y_col="y").take_all()
+
+
+def test_mad_oracle_value_col_named_n(ray_session):
+    """Regression: value_col='n' must not shadow the oracle's internal
+    window count (the alias collision that zeroed anomalous_days)."""
+    import ray.data
+
+    rng = np.random.default_rng(71)
+    m = 300
+    df = pd.DataFrame({
+        "g": rng.choice(["t1", "t2"], m),
+        "n": np.where(rng.random(m) < 0.1,
+                      rng.integers(500, 900, m),
+                      rng.integers(95, 105, m)).astype(np.int64),
+        "day": np.arange(m, dtype=np.int64),
+    })
+    out = mad_outliers(ray.data.from_pandas(df), group_col="g",
+                       value_col="n", mult=2, id_cols=("day",),
+                       num_partitions=2)
+    got = sorted((int(r["day"]), r["g"], int(r["n"]), int(r["med"]),
+                  int(r["dev"]), int(r["mad"])) for r in out.take_all())
+    assert len(got) > 10
+    con = duckdb.connect()
+    con.register("t0", df)
+    want = con.execute(oracle_mad_outliers_sql(
+        "SELECT * FROM t0", group_col="g", value_col="n", mult=2,
+        id_cols=("day",))).df()
+    assert got == sorted(
+        (int(i), g, int(v), int(m_), int(d), int(md)) for i, g, v, m_, d, md
+        in zip(want["day"], want["g"], want["n"], want["med"],
+               want["dev"], want["mad"]))
