@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "corr_moments_by_lang",
     "skyline_docs",
     "type_coengagement",
+    "anomalous_days",
+    "lexical_diversity",
+    "embedding_norm_stats",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

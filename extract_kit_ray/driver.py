@@ -3495,6 +3495,19 @@ def q_lexical_diversity(sf_dir: str) -> "ray.data.Dataset":
                           zero_copy_batch=True)
 
 
+def q_embedding_norm_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Vector-QC norm audit (ops/quantize.py): per-label moments of
+    deterministically quantized squared norms — the float boundary
+    crossed with one bit-exact floor(x*scale+0.5) per element, int64
+    everywhere after; flat zero-copy Arrow list math + reduceat."""
+    from .ops.quantize import quantized_norm_moments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    return quantized_norm_moments(ds, group_col="label",
+                                  vec_col="embedding")
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -3618,6 +3631,7 @@ QUERIES = {
     "anomalous_days": q_anomalous_days,
     "length_histogram": q_length_histogram,
     "lexical_diversity": q_lexical_diversity,
+    "embedding_norm_stats": q_embedding_norm_stats,
 }
 
 ORACLE_SQL = {
@@ -5333,3 +5347,14 @@ ORACLE_SQL["lexical_diversity"] = (
     "x -> x <> ''))) AS n_distinct_tokens "
     "FROM documents"
 )
+
+
+def _embedding_norms_oracle() -> str:
+    from .ops.quantize import oracle_quantized_norms_sql
+
+    return oracle_quantized_norms_sql(
+        "SELECT label, embedding FROM embeddings",
+        group_col="label", vec_col="embedding")
+
+
+ORACLE_SQL["embedding_norm_stats"] = _embedding_norms_oracle()
