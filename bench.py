@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "anomalous_days",
     "lexical_diversity",
     "embedding_norm_stats",
+    "lang_purity_by_source",
+    "source_term_similarity",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -3508,6 +3508,64 @@ def q_embedding_norm_stats(sf_dir: str) -> "ray.data.Dataset":
                                   vec_col="embedding")
 
 
+def q_lang_purity_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Simpson concentration of each source's lang mix in exact ppm
+    (ops/purity.py): one count shuffle + a bucketed per-group fold —
+    the integer-determinism form of the 1 - sum(p^2) diversity index."""
+    from .ops.purity import group_concentration
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+    return group_concentration(ds, group_col="source", cat_col="lang")
+
+
+_SIM_TERMS = 50
+
+
+def q_source_term_similarity(sf_dir: str) -> "ray.data.Dataset":
+    """Pairwise source-vocabulary dot products (ops/sparsesim.py): the
+    (source, word, n) sparse vectors capped to the corpus top-50 words,
+    pair partials expanded inside ONE groupby(word) — the inverted-
+    index similarity join, never a dense matrix."""
+    from collections import Counter
+
+    from .ops.sparsesim import sparse_pair_dots
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for w in (text or "").split():
+                counts[(src, w)] += 1
+        srcs = [k[0] for k in counts]
+        words = [k[1] for k in counts]
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "word": pa.array(words, pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    by_src_word = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "word"]).aggregate(Sum("n", alias_name="n"))
+        .materialize()  # two consumers: the top-word cap + the postings
+    )
+    top = (by_src_word.groupby("word").aggregate(Sum("n", alias_name="total"))
+           .sort(["total", "word"], descending=[True, False])
+           .limit(_SIM_TERMS).to_pandas())
+    top_words = frozenset(top["word"])
+
+    def keep_top(batch: pa.Table) -> pa.Table:
+        mask = pa.array([w in top_words for w in batch["word"].to_pylist()])
+        return batch.filter(mask)
+
+    capped = by_src_word.map_batches(keep_top, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return sparse_pair_dots(capped, key_col="source", item_col="word",
+                            weight_col="n")
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -3632,6 +3690,8 @@ QUERIES = {
     "length_histogram": q_length_histogram,
     "lexical_diversity": q_lexical_diversity,
     "embedding_norm_stats": q_embedding_norm_stats,
+    "lang_purity_by_source": q_lang_purity_by_source,
+    "source_term_similarity": q_source_term_similarity,
 }
 
 ORACLE_SQL = {
@@ -5358,3 +5418,34 @@ def _embedding_norms_oracle() -> str:
 
 
 ORACLE_SQL["embedding_norm_stats"] = _embedding_norms_oracle()
+
+
+def _purity_oracle() -> str:
+    from .ops.purity import oracle_concentration_sql
+
+    return oracle_concentration_sql(
+        "SELECT source, lang FROM documents",
+        group_col="source", cat_col="lang")
+
+
+ORACLE_SQL["lang_purity_by_source"] = _purity_oracle()
+
+
+def _source_sim_oracle() -> str:
+    from .ops.sparsesim import oracle_sparse_dots_sql
+
+    counts_sql = (
+        "WITH w AS (SELECT source, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "FROM documents), "
+        "sw AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2), "
+        "top AS (SELECT word FROM (SELECT word, CAST(sum(n) AS BIGINT) "
+        f"AS total FROM sw GROUP BY word) ORDER BY total DESC, word ASC "
+        f"LIMIT {_SIM_TERMS}) "
+        "SELECT sw.source, sw.word, CAST(sw.n AS BIGINT) AS n "
+        "FROM sw JOIN top USING (word)")
+    return oracle_sparse_dots_sql(counts_sql, key_col="source",
+                                  item_col="word", weight_col="n")
+
+
+ORACLE_SQL["source_term_similarity"] = _source_sim_oracle()
