@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "embedding_norm_stats",
     "lang_purity_by_source",
     "source_term_similarity",
+    "session_conversion",
+    "percent_rank_docs",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -3566,6 +3566,67 @@ def q_source_term_similarity(sf_dir: str) -> "ray.data.Dataset":
                             weight_col="n")
 
 
+def q_session_conversion(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user session conversion: the sessionize bucket fold (same
+    12h-gap boundary-masked cumsum) extended with a per-session
+    conversion flag — n_sessions / n_converting per user, one
+    user-bucket shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    bucketed = ds.map_batches(_add_user_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.zeros(len(g), dtype=bool)
+        gap_break[1:] = (us[1:] - us[:-1]) > _SESSION_GAP_US
+        new_sess = new_user | gap_break
+        cs = np.cumsum(new_sess.astype(np.int64))
+        start_cs = np.where(new_user, cs, 0)
+        start_cs = np.maximum.accumulate(start_cs)
+        session_no = cs - start_cs + 1
+        conv = (g["event_type"].to_numpy() == "purchase").astype(np.int64)
+        per = (pd.DataFrame({"user_id": uid, "session_no": session_no,
+                             "conv": conv})
+               .groupby(["user_id", "session_no"], sort=False)["conv"]
+               .max().reset_index())
+        out = (per.groupby("user_id", sort=False)
+               .agg(n_sessions=("session_no", "size"),
+                    n_converting=("conv", "sum")).reset_index())
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_converting"] = out["n_converting"].astype(np.int64)
+        return out
+
+    return bucketed.groupby("bucket").map_groups(fold,
+                                                 batch_format="pandas")
+
+
+def q_percent_rank_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Integer PERCENT_RANK in basis points within each source
+    ((rank-1)*10000 // (n-1), 0 for singleton groups) — the grouprank
+    histogram attach plus row-local arithmetic; float PERCENT_RANK is
+    not cross-engine hashable, the bps floor is."""
+    from .ops.grouprank import rank_in_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    ranked = rank_in_group(ds, group_col="source", value_col="n_chars")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        r = df["rank"].to_numpy(np.int64)
+        n = df["n_group"].to_numpy(np.int64)
+        df["pr_bps"] = (r - 1) * 10_000 // np.maximum(n - 1, 1)
+        return df.drop(columns=["rank", "n_group"])
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -3692,6 +3753,8 @@ QUERIES = {
     "embedding_norm_stats": q_embedding_norm_stats,
     "lang_purity_by_source": q_lang_purity_by_source,
     "source_term_similarity": q_source_term_similarity,
+    "session_conversion": q_session_conversion,
+    "percent_rank_docs": q_percent_rank_docs,
 }
 
 ORACLE_SQL = {
@@ -5449,3 +5512,34 @@ def _source_sim_oracle() -> str:
 
 
 ORACLE_SQL["source_term_similarity"] = _source_sim_oracle()
+
+
+ORACLE_SQL["session_conversion"] = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                 > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts,
+              event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM g
+), per AS (
+  SELECT user_id, session_no,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM s GROUP BY user_id, session_no
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converting
+FROM per GROUP BY user_id
+"""
+
+ORACLE_SQL["percent_rank_docs"] = (
+    "SELECT doc_id, source, n_chars, "
+    "CAST((RANK() OVER (PARTITION BY source ORDER BY n_chars DESC) - 1) "
+    "* 10000 // GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1) "
+    "AS BIGINT) AS pr_bps FROM documents"
+)
