@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "source_term_similarity",
     "session_conversion",
     "percent_rank_docs",
+    "distinct_words_by_source",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

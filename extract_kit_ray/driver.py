@@ -3627,6 +3627,35 @@ def q_percent_rank_docs(sf_dir: str) -> "ray.data.Dataset":
     return ranked.map_batches(finish, batch_format="pandas")
 
 
+def q_distinct_words_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-source vocabulary size: per-batch (source, word) set
+    partials -> ONE dedup groupby -> tiny count groupby — COUNT
+    (DISTINCT) at corpus scale without ever shipping token streams
+    (each batch contributes each (source, word) once)."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: set = set()
+        for src, text in zip(batch["source"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for w in (text or "").split():
+                seen.add((src, w))
+        srcs = [k[0] for k in seen]
+        words = [k[1] for k in seen]
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "word": pa.array(words, pa.string())})
+
+    distinct = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["source", "word"])
+                .aggregate(Count(alias_name="__c")))
+    return (distinct.groupby("source")
+            .aggregate(Count(alias_name="n_distinct_words")))
+
+
 QUERIES = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
@@ -3755,6 +3784,7 @@ QUERIES = {
     "source_term_similarity": q_source_term_similarity,
     "session_conversion": q_session_conversion,
     "percent_rank_docs": q_percent_rank_docs,
+    "distinct_words_by_source": q_distinct_words_by_source,
 }
 
 ORACLE_SQL = {
@@ -5542,4 +5572,12 @@ ORACLE_SQL["percent_rank_docs"] = (
     "CAST((RANK() OVER (PARTITION BY source ORDER BY n_chars DESC) - 1) "
     "* 10000 // GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1) "
     "AS BIGINT) AS pr_bps FROM documents"
+)
+
+
+ORACLE_SQL["distinct_words_by_source"] = (
+    "SELECT source, CAST(COUNT(DISTINCT word) AS BIGINT) "
+    "AS n_distinct_words FROM ("
+    "SELECT source, unnest(list_filter(regexp_split_to_array(text, "
+    "'\\s+'), x -> x <> '')) AS word FROM documents) GROUP BY source"
 )
