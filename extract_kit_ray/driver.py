@@ -5581,3 +5581,229 @@ ORACLE_SQL["distinct_words_by_source"] = (
     "SELECT source, unnest(list_filter(regexp_split_to_array(text, "
     "'\\s+'), x -> x <> '')) AS word FROM documents) GROUP BY source"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 web-ingest family: robots.txt gate, URL templates, WARC reader,
+# language confusion matrix
+# ---------------------------------------------------------------------------
+
+def _robots_rule_tuples(i: int) -> list[tuple[bool, str]]:
+    """The ``*``-group rules host ``site{i}.example`` publishes, as
+    (is_allow, prefix) tuples — the SHARED source of truth: the engine
+    renders them to robots.txt TEXT (plus junk the parser must skip)
+    and the oracle renders them to a VALUES rule table, so a parser
+    bug breaks the hash match."""
+    d1, d2 = i % 11, (3 * i + 1) % 11
+    rules = [(False, f"/sec{d1}/"), (False, f"/sec{d2}/p"),
+             (True, f"/sec{d2}/p7")]
+    if i % 5 == 0:
+        rules.append((True, ""))  # empty Disallow: == allow-all no-op
+    return rules
+
+
+def _robots_texts() -> dict[str, str]:
+    """Render each host's rules as a realistic robots.txt body: a
+    non-matching UA group that must be IGNORED, comments, blank-line
+    group breaks, mixed field-name case, Crawl-delay/Sitemap noise."""
+    out: dict[str, str] = {}
+    for i in range(20):
+        lines = [
+            "# synthetic fixture for site%d" % i,
+            "User-agent: badbot",
+            "Disallow: /",
+            "",
+            "user-agent: *   # comment after the agent",
+        ]
+        for is_allow, prefix in _robots_rule_tuples(i):
+            if is_allow and prefix == "":
+                lines.append("Disallow:")
+            else:
+                lines.append(("Allow: " if is_allow else "disallow: ")
+                             + prefix)
+        lines += ["Crawl-delay: 2",
+                  f"Sitemap: https://site{i}.example/sitemap.xml"]
+        out[f"site{i}.example"] = "\n".join(lines)
+    return out
+
+
+_ROBOTS_HOST_SQL = "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example'"
+_ROBOTS_PATH_SQL = ("'/sec' || CAST(doc_id % 11 AS VARCHAR) || '/p' || "
+                    "CAST(doc_id % 13 AS VARCHAR)")
+
+
+def _plant_host_path(batch: pa.Table) -> pa.Table:
+    """(host, path) plant mirrored by _ROBOTS_HOST_SQL/_ROBOTS_PATH_SQL."""
+    did = batch["doc_id"].to_numpy()
+    add = np.char.add
+    host = add(add("site", (did % 20).astype("U2")), ".example")
+    path = add(add(add("/sec", (did % 11).astype("U2")), "/p"),
+               (did % 13).astype("U2"))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "host": pa.array(host.tolist(), pa.string()),
+        "path": pa.array(path.tolist(), pa.string()),
+    })
+
+
+def q_robots_filter(sf_dir: str) -> "ray.data.Dataset":
+    """robots.txt crawl gate (ops/robots.py): parse each host's
+    robots.txt ONCE per actor from a ray.put broadcast, then filter
+    the URL stream vectorized with most-specific-match / Allow-wins
+    semantics.  Scale shape: zero shuffles — the rules table is tiny
+    and broadcast; the URL table only streams.  The oracle replays the
+    decision over the same rule tuples as a VALUES table + window
+    pick, so BOTH the parser and the decision logic are hash-checked."""
+    from .ops.robots import robots_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    urls = ds.map_batches(_plant_host_path, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return robots_filter(urls, _robots_texts())
+
+
+def _robots_oracle() -> str:
+    vals = []
+    for i in range(20):
+        for is_allow, prefix in _robots_rule_tuples(i):
+            vals.append(f"('site{i}.example', '{prefix}', "
+                        f"{'TRUE' if is_allow else 'FALSE'}, {len(prefix)})")
+    values = ", ".join(vals)
+    return (
+        f"WITH u AS (SELECT doc_id, {_ROBOTS_HOST_SQL} AS host, "
+        f"{_ROBOTS_PATH_SQL} AS path FROM documents), "
+        f"r(host, prefix, is_allow, plen) AS (VALUES {values}), "
+        "m AS (SELECT u.doc_id, r.is_allow, ROW_NUMBER() OVER ("
+        "PARTITION BY u.doc_id ORDER BY r.plen DESC, r.is_allow DESC"
+        ") AS rn FROM u JOIN r ON u.host = r.host "
+        "AND starts_with(u.path, r.prefix)) "
+        "SELECT u.doc_id, u.host, u.path FROM u "
+        "LEFT JOIN (SELECT doc_id, is_allow FROM m WHERE rn = 1) b "
+        "USING (doc_id) WHERE b.doc_id IS NULL OR b.is_allow"
+    )
+
+
+_URL_TPL_RE = r"/\d+(/|$)"
+_URL_TPL_SUB = r"/<n>\1"
+
+
+def q_url_templates(sf_dir: str) -> "ray.data.Dataset":
+    """URL path-template mining (the crawl-frontier analysis that
+    finds calendar traps and infinite facet spaces): numeric path
+    segments collapse to ``/<n>`` via ONE RE2 global replace —
+    identical kernel (pyarrow replace_substring_regex vs DuckDB
+    regexp_replace, both RE2) — then one small groupby for (count,
+    min doc).  Scale shape: stateless map + a template-cardinality
+    shuffle (tiny)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant_and_template(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        add = np.char.add
+        path = add(add(add("/cat", (did % 7).astype("U2")), "/item/"),
+                   did.astype("U20"))
+        path = np.where(did % 3 == 0, add(path, "/view"), path)
+        tpl = pc.replace_substring_regex(
+            pa.array(path.tolist(), pa.string()),
+            _URL_TPL_RE, _URL_TPL_SUB)
+        return pa.table({"doc_id": batch["doc_id"], "template": tpl})
+
+    return (ds.map_batches(plant_and_template, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("template")
+            .aggregate(Count(alias_name="n_urls"),
+                       Min("doc_id", alias_name="min_doc")))
+
+
+_URL_TPL_PLANT_SQL = (
+    "'/cat' || CAST(doc_id % 7 AS VARCHAR) || '/item/' || "
+    "CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/view' ELSE '' END"
+)
+
+
+def q_lang_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Language-ID confusion matrix: the declared ``lang`` column vs
+    the stopword-argmax classifier's prediction, one (truth, pred)
+    count per cell — the QC table that decides whether a lang filter
+    is trustworthy.  Composition: LangIdStage actor pool (model built
+    once per actor) + ONE tiny groupby; the oracle reuses the full
+    lang_id classifier CTE."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangIdStage, batch_format="pyarrow", **_pool())
+    return (pred.groupby(["lang", "pred_lang"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
+def _lang_confusion_oracle() -> str:
+    return (
+        f"WITH pred AS ({_lang_id_oracle()}) "
+        "SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2"
+    )
+
+
+def q_warc_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """WARC ingest bridge (functions/warc.py): serialize each batch's
+    docs into concatenated WARC/1.0 response records (8 per blob) and
+    parse them back with the strict Content-Length framing walker —
+    url, record-id and payload must survive byte-identically (the
+    oracle reads the same fields straight off the table).  Scale
+    shape: blobs never leave the batch; zero shuffles."""
+    from .functions.warc import build_warc, parse_warc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        recs = [{
+            "url": f"https://site{d % 20}.example/doc/{d}",
+            "ts": "2026-01-01T00:00:00Z",
+            "record_id": f"urn:doc:{d}",
+            "payload": (t or "").encode("utf-8"),
+        } for d, t in zip(ids, texts)]
+        out_id, out_url, out_nb, out_text = [], [], [], []
+        for i in range(0, len(recs), 8):
+            for r in parse_warc(build_warc(recs[i:i + 8])):
+                out_id.append(int(r["record_id"].rsplit(":", 1)[1]))
+                out_url.append(r["url"])
+                out_nb.append(len(r["payload"]))
+                out_text.append(r["payload"].decode("utf-8"))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "url": pa.array(out_url, pa.string()),
+            "n_bytes": pa.array(out_nb, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+QUERIES["robots_filter"] = q_robots_filter
+QUERIES["url_templates"] = q_url_templates
+QUERIES["lang_confusion"] = q_lang_confusion
+QUERIES["warc_roundtrip"] = q_warc_roundtrip
+
+ORACLE_SQL["robots_filter"] = _robots_oracle()
+ORACLE_SQL["url_templates"] = (
+    f"SELECT regexp_replace({_URL_TPL_PLANT_SQL}, '{_URL_TPL_RE}', "
+    f"'{_URL_TPL_SUB}', 'g') AS template, "
+    "CAST(COUNT(*) AS BIGINT) AS n_urls, MIN(doc_id) AS min_doc "
+    "FROM documents GROUP BY 1"
+)
+ORACLE_SQL["lang_confusion"] = _lang_confusion_oracle()
+ORACLE_SQL["warc_roundtrip"] = (
+    "SELECT doc_id, 'https://site' || CAST(doc_id % 20 AS VARCHAR) || "
+    "'.example/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text "
+    "FROM documents"
+)
