@@ -5807,3 +5807,196 @@ ORACLE_SQL["warc_roundtrip"] = (
     "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text "
     "FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 web-text cleaning family: charset sniff/decode, entity decode,
+# C4 line filter
+# ---------------------------------------------------------------------------
+
+def q_charset_sniff(sf_dir: str) -> "ray.data.Dataset":
+    """Charset sniff + decode (functions/charset.py): pages planted in
+    four real wire shapes — bare utf-8, <meta charset>, legacy
+    iso-8859-1 via http-equiv, and BOM'd utf-16 — must come back as
+    (charset, text) with the BOM stripped and the 8-bit accents
+    decoded.  The engine sniffs REAL bytes (WHATWG-style prescan); the
+    oracle states the closed-form expectation, so a sniffing or
+    decoding bug breaks the hash.  Scale shape: per-cell byte work,
+    zero shuffles."""
+    from .functions.charset import decode_html
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant_and_decode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        cs_out, tx_out = [], []
+        for d in ids:
+            body = f"Body {d} déjà vu"
+            v = d % 4
+            if v == 0:
+                raw = f"<html><body>{body}".encode("utf-8")
+            elif v == 1:
+                raw = (f'<html><head><meta charset="UTF-8"></head>{body}'
+                       ).encode("utf-8")
+            elif v == 2:
+                raw = ('<meta http-equiv="Content-Type" '
+                       'content="text/html; charset=ISO-8859-1">'
+                       + body).encode("iso-8859-1")
+            else:
+                raw = f"<html>{body}".encode("utf-16")
+            cs, text = decode_html(raw)
+            cs_out.append(cs)
+            tx_out.append(text)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "charset": pa.array(cs_out, pa.string()),
+            "text": pa.array(tx_out, pa.string()),
+        })
+
+    return ds.map_batches(plant_and_decode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _charset_oracle() -> str:
+    body = "'Body ' || CAST(doc_id AS VARCHAR) || ' déjà vu'"
+    return (
+        "SELECT doc_id, "
+        "CASE doc_id % 4 WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-16' "
+        "ELSE 'utf-8' END AS charset, "
+        "CASE doc_id % 4 "
+        f"WHEN 0 THEN '<html><body>' || {body} "
+        "WHEN 1 THEN '<html><head><meta charset=\"UTF-8\"></head>' || "
+        f"{body} "
+        "WHEN 2 THEN '<meta http-equiv=\"Content-Type\" "
+        "content=\"text/html; charset=ISO-8859-1\">' || "
+        f"{body} "
+        f"ELSE '<html>' || {body} END AS text "
+        "FROM documents"
+    )
+
+
+_ENTITY_PLANT_SQL = (
+    "'&lt;p&gt; ' || text || ' &amp;amp; &quot;' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '&quot; &nbsp;&#39;end&#39;'"
+)
+
+
+def q_decode_entities(sf_dir: str) -> "ray.data.Dataset":
+    """HTML entity decode (ops/clean.py): docs wrapped in an
+    entity-laden frame — including the double-escaped ``&amp;amp;``
+    that must decode exactly ONE level — cleaned by the fixed ordered
+    replace chain, one vectorized kernel per entity.  The oracle
+    replays the identical chain with nested ``replace``.  Scale shape:
+    stateless map, zero shuffles."""
+    from .ops.clean import decode_entities_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        tail = pc.binary_join_element_wise(
+            pa.array((did % 5).astype("U1").tolist(), pa.string()),
+            "&quot; &nbsp;&#39;end&#39;", "")
+        planted = pc.binary_join_element_wise(
+            "&lt;p&gt; ", batch["text"], " &amp;amp; &quot;", tail, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": planted})
+
+    return (ds.map_batches(plant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(decode_entities_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+_LINE_WORDS = 8
+
+
+def q_c4_line_filter(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style line-level quality filter (ops/clean.py): docs wrapped
+    into 8-word lines with planted terminal punctuation on a
+    (doc_id + idx) % 3 schedule, then only lines with >= 5 words
+    ending in . ! ? survive; the doc is rebuilt from survivors with
+    kept/dropped counts.  The oracle rebuilds the SAME wrap via
+    generate_series + list slicing (the dedup_paragraphs technique)
+    and replays the keep rule.  Scale shape: per-doc linear pass,
+    zero shuffles."""
+    from .ops.clean import c4_line_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_t, out_k, out_d = [], [], []
+        for d, t in zip(ids, texts):
+            words = (t or "").split()
+            n = max(-(-len(words) // _LINE_WORDS), 1)
+            lines = []
+            for i in range(n):
+                seg = words[i * _LINE_WORDS:(i + 1) * _LINE_WORDS]
+                line = " ".join(seg)
+                m = (d + i) % 3
+                if m == 0:
+                    line += "."
+                elif m == 1:
+                    line += "!"
+                lines.append(line)
+            kept, dropped = c4_line_filter(lines)
+            out_t.append("\n".join(kept))
+            out_k.append(len(kept))
+            out_d.append(dropped)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.array(out_t, pa.string()),
+            "n_kept": pa.array(out_k, pa.int64()),
+            "n_dropped": pa.array(out_d, pa.int64()),
+        })
+
+    return ds.map_batches(filt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _c4_oracle() -> str:
+    lw = _LINE_WORDS
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "text, '\\s+'), x -> x <> '') AS ws FROM documents), "
+        "p0 AS (SELECT doc_id, ws, greatest(CAST(ceil(len(ws) / "
+        f"{lw}.0) AS BIGINT), 1) AS np FROM w), "
+        "para AS (SELECT doc_id, unnest(generate_series(1, np)) AS i, "
+        "ws FROM p0), "
+        "ln AS (SELECT doc_id, i - 1 AS idx, "
+        f"ws[(i-1)*{lw}+1 : i*{lw}] AS seg FROM para), "
+        "l2 AS (SELECT doc_id, idx, len(seg) AS nw, "
+        "array_to_string(seg, ' ') || CASE (doc_id + idx) % 3 "
+        "WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '' END AS line FROM ln), "
+        "k AS (SELECT doc_id, idx, line, (nw >= 5 AND ("
+        "ends_with(line, '.') OR ends_with(line, '!') OR "
+        "ends_with(line, '?'))) AS kept FROM l2) "
+        "SELECT doc_id, coalesce(string_agg(CASE WHEN kept THEN line "
+        "END, chr(10) ORDER BY idx), '') AS text, "
+        "CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept, "
+        "CAST(count(CASE WHEN NOT kept THEN 1 END) AS BIGINT) "
+        "AS n_dropped FROM k GROUP BY doc_id"
+    )
+
+
+QUERIES["charset_sniff"] = q_charset_sniff
+QUERIES["decode_entities"] = q_decode_entities
+QUERIES["c4_line_filter"] = q_c4_line_filter
+
+ORACLE_SQL["charset_sniff"] = _charset_oracle()
+
+
+def _decode_entities_oracle() -> str:
+    from .ops.clean import oracle_decode_entities_expr
+
+    return ("SELECT doc_id, "
+            + oracle_decode_entities_expr(_ENTITY_PLANT_SQL)
+            + " AS text FROM documents")
+
+
+ORACLE_SQL["decode_entities"] = _decode_entities_oracle()
+ORACLE_SQL["c4_line_filter"] = _c4_oracle()

@@ -1,0 +1,113 @@
+"""Charset sniffing (functions/charset.py) and the cleaning kernels
+(ops/clean.py)."""
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from extract_kit_ray.functions.charset import decode_html, sniff_charset
+from extract_kit_ray.ops.clean import (ENTITY_STEPS, c4_line_filter,
+                                       decode_entities_batch,
+                                       oracle_decode_entities_expr)
+
+# --------------------------------------------------------------- charset
+
+def test_sniff_bom_beats_meta():
+    data = b"\xef\xbb\xbf<meta charset=iso-8859-1>x"
+    assert sniff_charset(data) == "utf-8"
+    assert decode_html(data)[1].startswith("<meta")  # BOM stripped
+
+
+def test_sniff_meta_variants():
+    assert sniff_charset(b'<meta charset="UTF-8">') == "utf-8"
+    assert sniff_charset(b"<META CHARSET='Latin-1'>") == "iso-8859-1"
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=ISO-8859-1">') == "iso-8859-1"
+
+
+def test_sniff_meta_outside_prescan_window_ignored():
+    data = b" " * 1200 + b'<meta charset="utf-16">'
+    assert sniff_charset(data) == "utf-8"
+
+
+def test_decode_latin1_accents():
+    cs, text = decode_html("<meta charset=iso-8859-1>déjà"
+                           .encode("iso-8859-1"))
+    assert (cs, text) == ("iso-8859-1", "<meta charset=iso-8859-1>déjà")
+
+
+def test_decode_utf16_bom():
+    cs, text = decode_html("héllo".encode("utf-16"))
+    assert (cs, text) == ("utf-16", "héllo")
+
+
+def test_decode_unknown_charset_falls_back():
+    cs, text = decode_html(b"<meta charset=x-klingon>ok")
+    assert cs == "x-klingon" and text.endswith("ok")
+
+
+def test_decode_bad_bytes_replace_not_raise():
+    cs, text = decode_html(b"<meta charset=utf-8>\xff\xfe!")
+    assert "�" in text
+
+
+# -------------------------------------------------------------- entities
+
+def _decode(s: str) -> str:
+    t = pa.table({"text": [s]})
+    return decode_entities_batch(t)["text"][0].as_py()
+
+
+def test_entity_chain():
+    # &nbsp; decodes to a real U+00A0, not an ASCII space
+    assert _decode("&lt;b&gt;&quot;x&quot;&#39;y&#39;&nbsp;&amp;") == \
+        '<b>"x"\'y\'\xa0&'
+
+
+def test_double_escape_decodes_one_level():
+    assert _decode("&amp;amp; &amp;lt;") == "&amp; &lt;"
+
+
+def test_oracle_expr_matches_engine():
+    import duckdb
+
+    probes = ["&lt;&amp;lt;&gt;", "a&nbsp;&nbsp;b", "&amp;amp;amp;",
+              "plain", "&quot;&#39;", "&", "&amp"]
+    expr = oracle_decode_entities_expr("s")
+    for p in probes:
+        got = duckdb.sql(
+            f"SELECT {expr} AS v FROM (SELECT ? AS s)", params=[p]
+        ).fetchone()[0]
+        assert got == _decode(p), p
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="&amp;ltgqu#39nbsp; x", max_size=30))
+def test_entity_fuzz_vs_duckdb(s):
+    import duckdb
+
+    expr = oracle_decode_entities_expr("s")
+    got = duckdb.sql(f"SELECT {expr} AS v FROM (SELECT ? AS s)",
+                     params=[s]).fetchone()[0]
+    assert got == _decode(s)
+
+
+# --------------------------------------------------------------- c4 rule
+
+def test_c4_keeps_only_terminal_punct_and_length():
+    lines = ["one two three four five.",      # kept
+             "one two three four five",       # no punct
+             "short words.",                   # <5 words
+             "a b c d e f?",                   # kept
+             "", "ends bang one two three!"]   # empty; kept
+    kept, dropped = c4_line_filter(lines)
+    assert kept == ["one two three four five.", "a b c d e f?",
+                    "ends bang one two three!"]
+    assert dropped == 3
+
+
+def test_c4_min_words_param():
+    kept, dropped = c4_line_filter(["a b."], min_words=2)
+    assert kept == ["a b."] and dropped == 0
