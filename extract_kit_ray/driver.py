@@ -6000,3 +6000,130 @@ def _decode_entities_oracle() -> str:
 
 ORACLE_SQL["decode_entities"] = _decode_entities_oracle()
 ORACLE_SQL["c4_line_filter"] = _c4_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 corpus-QC additions: OOV rate vs broadcast vocab, per-source
+# duplicate ratio
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 100
+
+
+def q_oov_rate(sf_dir: str) -> "ray.data.Dataset":
+    """Out-of-vocabulary audit (ops/textops.OovScorer): pass 1 builds
+    the corpus top-100 vocabulary (per-batch Counter partials -> one
+    tiny word groupby -> deterministic n DESC, word ASC cut); pass 2
+    broadcasts the vocab via ray.put and scores every doc's OOV share
+    in integer basis points.  Two corpus reads, zero text shuffles —
+    the word table (bounded by vocab size after the cut) is the only
+    thing that moves."""
+    from collections import Counter
+
+    from .ops.textops import OovScorer
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update((text or "").split())
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("word").aggregate(Sum("n", alias_name="n")))
+    top = (counts.sort(["n", "word"], descending=[True, False])
+           .limit(_OOV_VOCAB_K).to_pandas())
+    vocab_ref = ray.put(top["word"].tolist())
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return docs.map_batches(
+        OovScorer, fn_constructor_kwargs={"vocab_ref": vocab_ref},
+        batch_format="pyarrow", **_pool())
+
+
+def _oov_oracle() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "text, '\\s+'), x -> x <> '') AS ws FROM documents), "
+        "tok AS (SELECT unnest(ws) AS word FROM w), "
+        "top AS (SELECT word, 1 AS hit FROM (SELECT word, "
+        "CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word) "
+        f"ORDER BY n DESC, word ASC LIMIT {_OOV_VOCAB_K}), "
+        "t AS (SELECT doc_id, unnest(ws) AS word FROM w), "
+        "o AS (SELECT t.doc_id, count(*) AS n_oov FROM t "
+        "LEFT JOIN top USING (word) WHERE top.hit IS NULL "
+        "GROUP BY t.doc_id) "
+        "SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov, "
+        "CAST(CASE WHEN len(w.ws) = 0 THEN 0 ELSE "
+        "coalesce(o.n_oov, 0) * 10000 // len(w.ws) END AS BIGINT) "
+        "AS oov_bps FROM w LEFT JOIN o ON w.doc_id = o.doc_id"
+    )
+
+
+def q_dup_ratio_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source duplicate-ratio QC — the table that decides which
+    crawl sources need aggressive dedup: texts truncated to a planted
+    (doc_id % 4 + 1)-word prefix (manufacturing real collisions,
+    mirrored by list slicing in SQL) are counted by 128-bit content
+    hash within source; dup_bps = (n_docs - n_unique) * 10000 //
+    n_docs.  Scale shape: text never shuffles — only (source, h1, h2)
+    rows ride the ONE groupby; hash-equality == text-equality per the
+    exact_dedup 128-bit contract (ops/dedup.add_text_hash)."""
+    from ray.data.aggregate import Count as _Count
+
+    from .ops.dedup import add_text_hash
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def truncate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        cut = [" ".join((t or "").split()[:d % 4 + 1])
+               for d, t in zip(ids, texts)]
+        return pa.table({"source": batch["source"],
+                         "text": pa.array(cut, pa.string())})
+
+    hashed = (ds.map_batches(truncate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .map_batches(add_text_hash, batch_format="pyarrow")
+              .select_columns(["source", "text_hash", "text_hash2"]))
+    per_text = (hashed.groupby(["source", "text_hash", "text_hash2"])
+                .aggregate(_Count(alias_name="n")))
+    per_src = (per_text.groupby("source")
+               .aggregate(Sum("n", alias_name="n_docs"),
+                          _Count(alias_name="n_unique")))
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        nd = batch["n_docs"].to_numpy()
+        nu = batch["n_unique"].to_numpy()
+        bps = (nd - nu) * 10000 // nd
+        return batch.append_column("dup_bps", pa.array(bps, pa.int64()))
+
+    return per_src.map_batches(ratio, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _dup_ratio_oracle() -> str:
+    return (
+        "WITH c AS (SELECT doc_id, source, array_to_string("
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+        "[1 : doc_id % 4 + 1], ' ') AS t FROM documents), "
+        "g AS (SELECT source, t, count(*) AS n FROM c GROUP BY 1, 2) "
+        "SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_unique, "
+        "(CAST(sum(n) AS BIGINT) - count(*)) * 10000 // "
+        "CAST(sum(n) AS BIGINT) AS dup_bps FROM g GROUP BY source"
+    )
+
+
+QUERIES["oov_rate"] = q_oov_rate
+QUERIES["dup_ratio_by_source"] = q_dup_ratio_by_source
+ORACLE_SQL["oov_rate"] = _oov_oracle()
+ORACLE_SQL["dup_ratio_by_source"] = _dup_ratio_oracle()

@@ -167,3 +167,36 @@ def curate_signals_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "n_tokens_ws", pa.array(nts, pa.int64())).append_column(
         "dup2_frac", pa.array(d2s, pa.float64()))
+
+
+class OovScorer:
+    """Actor-pool stage: per-doc out-of-vocabulary rate against a
+    BROADCAST vocabulary — the coverage audit run before committing to
+    a tokenizer/vocab for training.  ``vocab_ref`` is a ``ray.put``
+    handle to the word list; the set is materialized ONCE per actor in
+    ``__init__`` (the model-broadcast pattern of ops/classify.py).
+    ``oov_bps`` is integer basis points (n_oov * 10000 // n_tokens) so
+    the value hash-matches the SQL oracle exactly.
+
+    Scale shape: the vocab is tiny and broadcast; the corpus streams
+    through with no shuffle."""
+
+    def __init__(self, vocab_ref, *, text_col: str = "text"):
+        import ray
+
+        self.vocab = frozenset(ray.get(vocab_ref))
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tok, n_oov, bps = [], [], []
+        vocab = self.vocab
+        for text in batch[self.text_col].to_pylist():
+            words = (text or "").split()
+            oov = sum(1 for w in words if w not in vocab)
+            n_tok.append(len(words))
+            n_oov.append(oov)
+            bps.append(oov * 10000 // len(words) if words else 0)
+        out = batch.drop_columns([self.text_col])
+        return (out.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+                .append_column("n_oov", pa.array(n_oov, pa.int64()))
+                .append_column("oov_bps", pa.array(bps, pa.int64())))
