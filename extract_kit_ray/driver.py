@@ -6127,3 +6127,114 @@ QUERIES["oov_rate"] = q_oov_rate
 QUERIES["dup_ratio_by_source"] = q_dup_ratio_by_source
 ORACLE_SQL["oov_rate"] = _oov_oracle()
 ORACLE_SQL["dup_ratio_by_source"] = _dup_ratio_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 PII upgrade + second ingest container: Luhn card redaction,
+# sitemap XML roundtrip
+# ---------------------------------------------------------------------------
+
+# (display form, Luhn-valid) — validity pinned by tests/test_redact_cards
+_CARD_FIXTURES: list[tuple[str, bool]] = [
+    ("4111 1111 1111 1111", True),
+    ("5500005555555559", True),
+    ("3400-0000-0000-09", False),   # 14 digits — fails the checksum
+    ("6011000990139424", True),
+    ("4111 1111 1111 1112", False),
+    ("5500005555555550", False),
+    ("340000000000001", False),
+    ("6011-0009-9013-9425", False),
+]
+
+
+def q_luhn_redact(sf_dir: str) -> "ray.data.Dataset":
+    """Credit-card redaction with REAL checksum verification
+    (ops/redact.redact_cards_batch): digit runs are only masked when
+    the Luhn checksum passes — the order-id/timestamp false-positive
+    killer.  Vectorized RE2 prefilter, Python only on candidate rows.
+    The checksum is not SQL-expressible, so cards come from a shared
+    fixture table (half valid, half one-digit-off or misformatted) and
+    the oracle replays the expected mask from the same tuples — an
+    engine that validates wrongly breaks the hash."""
+    from .ops.redact import redact_cards_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    cards = [c for c, _v in _CARD_FIXTURES]
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        planted = [f"{t or ''} card: {cards[d % 8]}"
+                   for d, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(planted, pa.string())})
+
+    return (ds.map_batches(plant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(redact_cards_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def _luhn_oracle() -> str:
+    vals = ", ".join(
+        f"({i}, '{card}', {'TRUE' if valid else 'FALSE'})"
+        for i, (card, valid) in enumerate(_CARD_FIXTURES))
+    return (
+        f"WITH cards(i, card, valid) AS (VALUES {vals}) "
+        "SELECT d.doc_id, d.text || ' card: ' || "
+        "CASE WHEN c.valid THEN '[CARD]' ELSE c.card END AS text, "
+        "CAST(CASE WHEN c.valid THEN 1 ELSE 0 END AS BIGINT) AS n_cards "
+        "FROM documents d JOIN cards c ON c.i = d.doc_id % 8"
+    )
+
+
+def q_sitemap_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Sitemap XML ingest bridge (functions/sitemap.py): 10 urls per
+    sitemap document, urls carrying a real ``&`` that must be
+    ``&amp;``-escaped on the wire and decoded back, optional
+    lastmod/priority fields planted on modular schedules (NULLs
+    roundtrip as NULLs).  Build -> parse inside one batch; the oracle
+    states the closed form.  Zero shuffles."""
+    from .functions.sitemap import build_sitemap, parse_sitemap
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        entries = [{
+            "loc": f"https://site{d % 20}.example/p/{d}?a=1&b=2",
+            "lastmod": f"2026-0{d % 9 + 1}-01" if d % 2 == 0 else None,
+            "priority": f"0.{d % 10}" if d % 3 == 0 else None,
+        } for d in ids]
+        out_id, out = [], []
+        for i in range(0, len(entries), 10):
+            chunk = entries[i:i + 10]
+            parsed = parse_sitemap(build_sitemap(chunk))
+            out_id.extend(ids[i:i + 10])
+            out.extend(parsed)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "loc": pa.array([e["loc"] for e in out], pa.string()),
+            "lastmod": pa.array([e["lastmod"] for e in out], pa.string()),
+            "priority": pa.array([e["priority"] for e in out],
+                                 pa.string()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+ORACLE_SQL["sitemap_roundtrip"] = (
+    "SELECT doc_id, 'https://site' || CAST(doc_id % 20 AS VARCHAR) || "
+    "'.example/p/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc, "
+    "CASE WHEN doc_id % 2 = 0 THEN '2026-0' || "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' END AS lastmod, "
+    "CASE WHEN doc_id % 3 = 0 THEN '0.' || "
+    "CAST(doc_id % 10 AS VARCHAR) END AS priority FROM documents"
+)
+
+QUERIES["luhn_redact"] = q_luhn_redact
+QUERIES["sitemap_roundtrip"] = q_sitemap_roundtrip
+ORACLE_SQL["luhn_redact"] = _luhn_oracle()

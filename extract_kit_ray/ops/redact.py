@@ -83,3 +83,66 @@ def oracle_count_exprs(source_expr: str) -> list[str]:
         )
         stage = f"regexp_replace({stage}, '{pat}', '{_repl}', 'g')"
     return exprs
+
+
+# ---------------------------------------------------------------------------
+# Credit-card redaction with Luhn verification
+# ---------------------------------------------------------------------------
+# A digit-run regex alone over-redacts (order ids, timestamps); real
+# scrubbers (e.g. the public presidio/scrubadub designs) validate the
+# Luhn checksum before masking.  The checksum is not RE2-expressible,
+# so the stage is a vectorized RE2 PREFILTER (rows with a candidate at
+# all — the rare case in web text) + a Python pass over only those
+# rows.  The oracle cannot recompute Luhn either; queries plant cards
+# from a SHARED fixture table (engine redacts for real, SQL replays
+# the expected outcome), and hypothesis tests pin the checksum against
+# a reference implementation.
+
+_CARD_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+import re as _re
+
+_CARD_CRE = _re.compile(_CARD_RE)
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn checksum over a digit string (ISO/IEC 7812)."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _redact_cards_str(text: str) -> tuple[str, int]:
+    n = 0
+
+    def sub(m: "_re.Match[str]") -> str:
+        nonlocal n
+        digits = m.group(0).replace(" ", "").replace("-", "")
+        if 13 <= len(digits) <= 19 and luhn_valid(digits):
+            n += 1
+            return "[CARD]"
+        return m.group(0)
+
+    return _CARD_CRE.sub(sub, text), n
+
+
+def redact_cards_batch(batch: pa.Table, *, text_col: str = "text",
+                       out_col: str = "text") -> pa.Table:
+    """Mask Luhn-valid card numbers; ``n_cards`` counts masks per row.
+    Vectorized RE2 prefilter -> Python only on candidate rows."""
+    col = batch[text_col]
+    has = pc.match_substring_regex(col, _CARD_RE)
+    texts = col.to_pylist()
+    counts = [0] * len(texts)
+    for i, flag in enumerate(has.to_pylist()):
+        if flag:
+            texts[i], counts[i] = _redact_cards_str(texts[i] or "")
+    result = batch.drop_columns([text_col])
+    result = result.append_column(out_col, pa.array(texts, pa.string()))
+    return result.append_column("n_cards", pa.array(counts, pa.int64()))
