@@ -6238,3 +6238,42 @@ ORACLE_SQL["sitemap_roundtrip"] = (
 QUERIES["luhn_redact"] = q_luhn_redact
 QUERIES["sitemap_roundtrip"] = q_sitemap_roundtrip
 ORACLE_SQL["luhn_redact"] = _luhn_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: near-dup cluster-size histogram
+# ---------------------------------------------------------------------------
+
+def q_dup_cluster_sizes(sf_dir: str) -> "ray.data.Dataset":
+    """Near-dup cluster-size distribution — the one-screen audit of how
+    duplicated a crawl is (singletons vs pathological mega-clusters),
+    and the number that sizes dedup's shuffle skew risk.  Rides the
+    full corpus-scale path (ops/dedup.minhash_lsh_dedup_ds: ONE
+    banding shuffle, join-verified candidates, hash-to-min
+    components), then two TINY groupbys: label -> cluster size ->
+    histogram.  The oracle extends the minhash reachability CTE with
+    the same double aggregation."""
+    from ray.data.aggregate import Count as _Count
+
+    from .ops.dedup import minhash_lsh_dedup_ds
+
+    labels = minhash_lsh_dedup_ds(_planted_docs(sf_dir), threshold=0.8,
+                                  concurrency=_fixed_concurrency(),
+                                  num_partitions=4)
+    sizes = (labels.groupby("cluster_rep")
+             .aggregate(_Count(alias_name="cluster_size")))
+    return (sizes.groupby("cluster_size")
+            .aggregate(_Count(alias_name="n_clusters")))
+
+
+_DUP_SIZES_FINAL = "SELECT a AS doc_id, min(b) < a AS is_dup FROM reach GROUP BY a"
+assert _DUP_SIZES_FINAL in _MINHASH_ORACLE  # oracle-prefix contract
+
+ORACLE_SQL["dup_cluster_sizes"] = _MINHASH_ORACLE.replace(
+    _DUP_SIZES_FINAL,
+    "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM ("
+    "SELECT CAST(count(*) AS BIGINT) AS cluster_size FROM ("
+    "SELECT a, min(b) AS rep FROM reach GROUP BY a) GROUP BY rep) "
+    "GROUP BY cluster_size")
+
+QUERIES["dup_cluster_sizes"] = q_dup_cluster_sizes
