@@ -6277,3 +6277,167 @@ ORACLE_SQL["dup_cluster_sizes"] = _MINHASH_ORACLE.replace(
     "GROUP BY cluster_size")
 
 QUERIES["dup_cluster_sizes"] = q_dup_cluster_sizes
+
+
+# ---------------------------------------------------------------------------
+# Round-5: composed web-ingest chain and a capped inverted index
+# ---------------------------------------------------------------------------
+
+def q_web_ingest_chain(sf_dir: str) -> "ray.data.Dataset":
+    """The web-side sibling of curate_corpus — the full crawl-frontier
+    hygiene chain as ONE streaming Dataset: robots.txt gate
+    (broadcast rules, no shuffle) -> URL assembly with planted
+    scheme-case and utm noise -> RE2 canonicalization (stateless) ->
+    URL-keyed exact dedup (first-wins; only (hash128, key) tuples ride
+    the one shuffle).  Oracle: the same chain as chained CTEs over the
+    shared robots rule tuples and the shared canonicalize rewrite
+    sequence."""
+    from .ops.dedup import exact_dedup
+    from .ops.robots import robots_filter
+    from .ops.urlnorm import canonicalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant_coarse(batch: pa.Table) -> pa.Table:
+        # coarser residues than _plant_host_path (lcm 330), so the
+        # final URL dedup genuinely collapses groups at test scale
+        did = batch["doc_id"].to_numpy()
+        add = np.char.add
+        host = add(add("site", (did % 5).astype("U1")), ".example")
+        path = add(add(add("/sec", (did % 11).astype("U2")), "/p"),
+                   (did % 3).astype("U1"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "host": pa.array(host.tolist(), pa.string()),
+            "path": pa.array(path.tolist(), pa.string()),
+        })
+
+    urls = ds.map_batches(plant_coarse, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    allowed = robots_filter(urls, _robots_texts())
+
+    def build_url(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        hosts = np.asarray(batch["host"].to_pylist(), dtype="U")
+        paths = np.asarray(batch["path"].to_pylist(), dtype="U")
+        scheme = np.where(did % 2 == 1, "HTTPS://", "http://")
+        q = np.select([did % 5 == 2, did % 5 == 3],
+                      ["?utm_source=x", "?id=9&utm_x=1"], "")
+        add = np.char.add
+        url = add(add(add(scheme.astype("U8"), hosts), paths), q)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "url": pa.array(url.tolist(), pa.string())})
+
+    canon = (allowed.map_batches(build_url, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+             .map_batches(canonicalize_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .select_columns(["doc_id", "canon_url"]))
+    return exact_dedup(canon, text_col="canon_url", key_col="doc_id")
+
+
+def _web_chain_oracle() -> str:
+    from .ops.urlnorm import oracle_canonicalize_expr
+
+    vals = ", ".join(
+        f"('site{i}.example', '{prefix}', "
+        f"{'TRUE' if allow else 'FALSE'}, {len(prefix)})"
+        for i in range(20) for allow, prefix in _robots_rule_tuples(i))
+    return (
+        "WITH u AS (SELECT doc_id, "
+        "'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host, "
+        "'/sec' || CAST(doc_id % 11 AS VARCHAR) || '/p' || "
+        "CAST(doc_id % 3 AS VARCHAR) AS path FROM documents), "
+        f"r(host, prefix, is_allow, plen) AS (VALUES {vals}), "
+        "m AS (SELECT u.doc_id, r.is_allow, ROW_NUMBER() OVER ("
+        "PARTITION BY u.doc_id ORDER BY r.plen DESC, r.is_allow DESC"
+        ") AS rn FROM u JOIN r ON u.host = r.host "
+        "AND starts_with(u.path, r.prefix)), "
+        "a AS (SELECT u.* FROM u LEFT JOIN (SELECT doc_id, is_allow "
+        "FROM m WHERE rn = 1) b USING (doc_id) "
+        "WHERE b.doc_id IS NULL OR b.is_allow), "
+        "raw AS (SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN "
+        "'HTTPS://' ELSE 'http://' END || host || path || "
+        "CASE WHEN doc_id % 5 = 2 THEN '?utm_source=x' "
+        "WHEN doc_id % 5 = 3 THEN '?id=9&utm_x=1' ELSE '' END AS u2 "
+        "FROM a), "
+        f"canon AS (SELECT doc_id, {oracle_canonicalize_expr('u2')} "
+        "AS canon_url FROM raw) "
+        "SELECT MIN(doc_id) AS doc_id, canon_url FROM canon "
+        "GROUP BY canon_url"
+    )
+
+
+_IDX_TERMS = 30
+_IDX_POSTINGS = 10
+
+
+def q_inverted_index(sf_dir: str) -> "ray.data.Dataset":
+    """Capped inverted index — the IR-side artifact (BM25's sibling):
+    for the corpus' top-30 words by document frequency, the doc
+    frequency and the first 10 doc_ids as a comma-joined posting
+    string.  ONE corpus read: per-batch partials carry (word,
+    df_partial, first-10-postings_partial) — doc_ids are globally
+    unique, so per-doc word SETS make the pairs distinct with no
+    dedup shuffle; the word groupby merges partials (sum df,
+    merge-sort-cap postings) and the top-30 cut happens after.
+    Postings travel as bounded strings, never unbounded lists."""
+    from collections import defaultdict
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list] = defaultdict(lambda: [0, []])
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for w in set((t or "").split()):
+                e = agg[w]
+                e[0] += 1
+                e[1].append(d)
+        words, dfs, posts = [], [], []
+        for w, (n, ids) in agg.items():
+            words.append(w)
+            dfs.append(n)
+            posts.append(",".join(map(str,
+                                      sorted(ids)[:_IDX_POSTINGS])))
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "df": pa.array(dfs, pa.int64()),
+                         "post": pa.array(posts, pa.string())})
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(x) for p in group["post"] if p
+                     for x in p.split(","))[:_IDX_POSTINGS]
+        return pd.DataFrame({
+            "word": [group["word"].iloc[0]],
+            "n_docs": [int(group["df"].sum())],
+            "postings": [",".join(map(str, ids))],
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("word").map_groups(merge))
+    return (merged.sort(["n_docs", "word"], descending=[True, False])
+            .limit(_IDX_TERMS))
+
+
+def _inverted_index_oracle() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, list_distinct(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(ws) AS word FROM w), "
+        "g AS (SELECT word, CAST(count(*) AS BIGINT) AS n_docs, "
+        "array_to_string(list_transform(list_sort(list(doc_id))"
+        f"[1 : {_IDX_POSTINGS}], x -> CAST(x AS VARCHAR)), ',') "
+        "AS postings FROM tok GROUP BY word) "
+        "SELECT word, n_docs, postings FROM g "
+        f"ORDER BY n_docs DESC, word ASC LIMIT {_IDX_TERMS}"
+    )
+
+
+QUERIES["web_ingest_chain"] = q_web_ingest_chain
+QUERIES["inverted_index"] = q_inverted_index
+ORACLE_SQL["web_ingest_chain"] = _web_chain_oracle()
+ORACLE_SQL["inverted_index"] = _inverted_index_oracle()
