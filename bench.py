@@ -141,6 +141,21 @@ BENCH_QUERIES = [
     "session_conversion",
     "percent_rank_docs",
     "distinct_words_by_source",
+    # round-5 web-ingest / cleaning family
+    "robots_filter",
+    "url_templates",
+    "warc_roundtrip",
+    "sitemap_roundtrip",
+    "charset_sniff",
+    "decode_entities",
+    "c4_line_filter",
+    "luhn_redact",
+    "lang_confusion",
+    "oov_rate",
+    "dup_ratio_by_source",
+    "dup_cluster_sizes",
+    "web_ingest_chain",
+    "inverted_index",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -158,3 +158,15 @@ def test_warc_fuzz_roundtrip(payloads):
     recs = [{"url": f"https://e/{i}", "ts": "T", "record_id": f"urn:x:{i}",
              "payload": p} for i, p in enumerate(payloads)]
     assert parse_warc(build_warc(recs)) == recs
+
+
+def test_driver_fixture_text_parses_back_to_rule_tuples():
+    """The oracle's VALUES table comes from _robots_rule_tuples; the
+    engine parses the rendered robots.txt.  This pins the two to each
+    other: a renderer or parser drift breaks the oracle contract."""
+    from extract_kit_ray.driver import _robots_rule_tuples, _robots_texts
+
+    texts = _robots_texts()
+    for i in range(20):
+        host = f"site{i}.example"
+        assert parse_robots(texts[host]) == _robots_rule_tuples(i), host
