@@ -61,5 +61,7 @@ def decode_html(data: bytes) -> tuple[str, str]:
         codec = "utf-8-sig"
     try:
         return cs, data.decode(codec, errors="replace")
-    except LookupError:
+    except (LookupError, TypeError, ValueError):
+        # unknown name, or a codec that is not a bytes->str decoder
+        # (e.g. a declared "rot13"): fall back to utf-8
         return cs, data.decode("utf-8", errors="replace")

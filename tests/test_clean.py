@@ -111,3 +111,12 @@ def test_c4_keeps_only_terminal_punct_and_length():
 def test_c4_min_words_param():
     kept, dropped = c4_line_filter(["a b."], min_words=2)
     assert kept == ["a b."] and dropped == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_sniff_and_decode_total(data):
+    """Arbitrary bytes must never raise: sniff returns a lowercase
+    name, decode returns a str (U+FFFD fallback)."""
+    cs, text = decode_html(data)
+    assert cs == cs.lower() and isinstance(text, str)
