@@ -6441,3 +6441,107 @@ QUERIES["web_ingest_chain"] = q_web_ingest_chain
 QUERIES["inverted_index"] = q_inverted_index
 ORACLE_SQL["web_ingest_chain"] = _web_chain_oracle()
 ORACLE_SQL["inverted_index"] = _inverted_index_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: registered-domain rollup (public-suffix matching) and
+# PDF-style dehyphenation
+# ---------------------------------------------------------------------------
+
+_PSL = ["com", "org", "net", "co.uk", "org.uk", "ac.jp", "example"]
+
+
+def q_registered_domains(sf_dir: str) -> "ray.data.Dataset":
+    """Per-registrant rollup via public-suffix-style longest-match
+    (ops/psl.py): hosts planted across multi-label suffixes
+    (``co.uk``/``ac.jp``), deep subdomains, an UNLISTED suffix (the
+    implicit last-two-labels rule) and a host that IS a suffix.  The
+    engine runs the real matcher; the oracle states the ground-truth
+    registered domain closed-form from the plant — so a matcher bug
+    (wrong boundary, shortest-match, off-by-one label) breaks the
+    hash, which is stronger than replaying the algorithm in SQL.
+    Scale shape: suffix set broadcast once per actor; one tiny
+    groupby."""
+    from ray.data.aggregate import Count as _Count
+
+    from .ops.psl import RegisteredDomainStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for d in batch["doc_id"].to_pylist():
+            if d % 13 == 0:
+                hosts.append("co.uk")
+            elif d % 11 == 0:
+                hosts.append(f"www.site{d % 6}.internal")
+            else:
+                sub = ["", "www.", "cdn.blog."][d % 3]
+                hosts.append(f"{sub}site{d % 6}.{_PSL[d % 7]}")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "host": pa.array(hosts, pa.string())})
+
+    tagged = (ds.map_batches(plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .map_batches(
+                  RegisteredDomainStage,
+                  fn_constructor_kwargs={"suffixes": _PSL},
+                  batch_format="pyarrow", **_pool()))
+    return (tagged.groupby("reg_domain")
+            .aggregate(_Count(alias_name="n_docs")))
+
+
+def _registered_domains_oracle() -> str:
+    psl_case = " ".join(
+        f"WHEN doc_id % 7 = {i} THEN '{s}'" for i, s in enumerate(_PSL))
+    return (
+        "WITH r AS (SELECT doc_id, CASE "
+        "WHEN doc_id % 13 = 0 THEN 'co.uk' "
+        "WHEN doc_id % 11 = 0 THEN 'site' || CAST(doc_id % 6 AS VARCHAR)"
+        " || '.internal' "
+        "ELSE 'site' || CAST(doc_id % 6 AS VARCHAR) || '.' || "
+        f"CASE {psl_case} END END AS reg_domain FROM documents) "
+        "SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM r GROUP BY reg_domain"
+    )
+
+
+_HYPH_RE = r"-\n([a-z])"
+_HYPH_SUB = r"\1"
+
+
+def q_dehyphenate(sf_dir: str) -> "ray.data.Dataset":
+    """Line-break dehyphenation — the classic PDF-extraction repair
+    ("mer-\\nge" -> "merge"): hyphen-newline splits planted inside a
+    corpus word by a shared replace(), repaired by ONE RE2 capture
+    rewrite identical in pyarrow and DuckDB; n_joined counts repairs.
+    Stateless vectorized map, zero shuffles."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fix(batch: pa.Table) -> pa.Table:
+        planted = pc.replace_substring(batch["text"], "merge",
+                                       "mer-\nge")
+        n = pc.cast(pc.count_substring_regex(planted, _HYPH_RE),
+                    pa.int64())
+        fixed = pc.replace_substring_regex(planted, _HYPH_RE, _HYPH_SUB)
+        return pa.table({"doc_id": batch["doc_id"], "text": fixed,
+                         "n_joined": n})
+
+    return ds.map_batches(fix, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+ORACLE_SQL["dehyphenate"] = (
+    "WITH p AS (SELECT doc_id, replace(text, 'merge', "
+    "'mer-' || chr(10) || 'ge') AS t FROM documents) "
+    "SELECT doc_id, "
+    f"regexp_replace(t, '{_HYPH_RE}', '{_HYPH_SUB}', 'g') AS text, "
+    f"CAST(len(regexp_extract_all(t, '{_HYPH_RE}')) AS BIGINT) "
+    "AS n_joined FROM p"
+)
+
+QUERIES["registered_domains"] = q_registered_domains
+QUERIES["dehyphenate"] = q_dehyphenate
+ORACLE_SQL["registered_domains"] = _registered_domains_oracle()

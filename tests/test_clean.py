@@ -120,3 +120,21 @@ def test_sniff_and_decode_total(data):
     name, decode returns a str (U+FFFD fallback)."""
     cs, text = decode_html(data)
     assert cs == cs.lower() and isinstance(text, str)
+
+
+# ------------------------------------------------------------------- psl
+
+def test_registered_domain_rules():
+    from extract_kit_ray.ops.psl import registered_domain
+
+    sfx = frozenset(["com", "co.uk", "uk", "example"])
+    rd = lambda h: registered_domain(h, sfx)
+    assert rd("www.site.co.uk") == "site.co.uk"      # longest beats 'uk'
+    assert rd("a.b.site.com") == "site.com"
+    assert rd("site.com") == "site.com"
+    assert rd("co.uk") == "co.uk"                     # host IS a suffix
+    assert rd("x.internal.zone") == "internal.zone"   # implicit * rule
+    assert rd("localhost") == "localhost"             # single label
+    assert rd("notco.uk") == "notco.uk"               # 'uk' match, not 'co.uk'
+    # label boundary: 'xco.uk' must NOT match suffix 'co.uk'
+    assert rd("a.xco.uk") == "xco.uk"
