@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "dup_cluster_sizes",
     "web_ingest_chain",
     "inverted_index",
+    "registered_domains",
+    "dehyphenate",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so
