@@ -6545,3 +6545,54 @@ ORACLE_SQL["dehyphenate"] = (
 QUERIES["registered_domains"] = q_registered_domains
 QUERIES["dehyphenate"] = q_dehyphenate
 ORACLE_SQL["registered_domains"] = _registered_domains_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: retrieval-eval harness (MRR of first relevant doc)
+# ---------------------------------------------------------------------------
+
+def q_bm25_mrr(sf_dir: str) -> pd.DataFrame:
+    """Retrieval evaluation over the BM25 engine (ops/bm25.
+    mrr_first_relevant): per query term, the EXACT rank of the first
+    relevant doc (relevance proxy: min doc key containing the term)
+    and its reciprocal rank in micro-units — computed without any
+    global sort (rank = 1 + count-of-better, two streaming passes,
+    O(T) rows collected).  The oracle extends the shared BM25 scored
+    CTE with the same rel/count/rank algebra."""
+    from .ops.bm25 import mrr_first_relevant, top_terms_with_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    terms, stats = top_terms_with_stats(ds, lo_rank=_BM25_LO,
+                                        hi_rank=_BM25_HI)
+    return mrr_first_relevant(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        terms, stats=stats)
+
+
+def _bm25_mrr_oracle() -> str:
+    full = _bm25_oracle()
+    final = "SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, score_micro"
+    assert final in full  # shared-prefix contract with bm25_search
+    prefix = full[:full.index(final)]
+    return prefix + (
+        ", rel AS (SELECT word AS term, min(doc_id) AS rel_doc "
+        "FROM tf GROUP BY word), "
+        "rs AS (SELECT r.term, r.rel_doc, s.score_micro AS rel_score "
+        "FROM rel r JOIN scored s ON s.term = r.term "
+        "AND s.doc_id = r.rel_doc), "
+        "cnt AS (SELECT s.term, count(*) AS better FROM scored s "
+        "JOIN rs ON rs.term = s.term WHERE s.score_micro > rs.rel_score "
+        "OR (s.score_micro = rs.rel_score AND s.doc_id < rs.rel_doc) "
+        "GROUP BY s.term) "
+        "SELECT rs.term, rs.rel_doc, "
+        "CAST(1 + coalesce(c.better, 0) AS BIGINT) AS rank, "
+        "CAST(1000000 // (1 + coalesce(c.better, 0)) AS BIGINT) "
+        "AS rr_micro FROM rs LEFT JOIN cnt c USING (term) "
+        "ORDER BY rs.term"
+    )
+
+
+QUERIES["bm25_mrr"] = q_bm25_mrr
+ORACLE_SQL["bm25_mrr"] = _bm25_mrr_oracle()

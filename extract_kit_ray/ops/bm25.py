@@ -252,3 +252,103 @@ def top_terms(ds, *, lo_rank: int, hi_rank: int, text_col: str = "text") -> list
     top = counts.sort(["n", "word"], descending=[True, False]).limit(hi_rank)
     rows = top.take_all()
     return [r["word"] for r in rows[lo_rank - 1: hi_rank]]
+
+
+def mrr_first_relevant(ds, terms: list[str], *, stats: dict,
+                       text_col: str = "text", key_col: str = "doc_id"):
+    """Retrieval-eval harness: for each query term, the RANK of the
+    first relevant document and its reciprocal rank in micro-units.
+
+    Relevance is the deterministic proxy both engines can state: the
+    minimum doc key containing the term.  Rank is computed EXACTLY,
+    without materializing a global sort: rank = 1 + |{docs scoring
+    strictly better, or equal with a smaller key}| — two streaming
+    passes (find the relevant doc + its score; count better docs with
+    the (rel, rel_score) pair broadcast), each a per-batch vectorized
+    partial + a tiny reduce.  Collects only O(T) rows.
+
+    Returns a pandas DataFrame (term, rel_doc, rank, rr_micro).
+    """
+    import pandas as pd
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    n_docs = int(stats["n_docs"])
+    avgdl = stats["sum_dl"] / n_docs
+    plan_ref = _ray.put({"terms": terms, "df": stats["df"],
+                         "n_docs": n_docs, "avgdl": avgdl})
+
+    class RelFinder:
+        def __init__(self):
+            import ray as _r
+
+            self.plan = _r.get(plan_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            p = self.plan
+            words, dl = _tokens(batch[text_col])
+            tf = _tf_matrix(words, len(batch), p["terms"])
+            keys = batch[key_col].to_numpy()
+            out_t, out_k, out_s = [], [], []
+            for j, term in enumerate(p["terms"]):
+                hit = np.nonzero(tf[:, j] > 0)[0]
+                if not len(hit):
+                    continue
+                i = hit[np.argmin(keys[hit])]
+                s = score_micro(tf[i:i + 1, j], dl[i:i + 1],
+                                n_docs=p["n_docs"], df=p["df"][j],
+                                avgdl=p["avgdl"])
+                out_t.append(term)
+                out_k.append(int(keys[i]))
+                out_s.append(int(s[0]))
+            return pa.table({"term": pa.array(out_t, pa.string()),
+                             "rel_doc": pa.array(out_k, pa.int64()),
+                             "rel_score": pa.array(out_s, pa.int64())})
+
+    partials = ds.map_batches(RelFinder, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=(1, 8)).to_pandas()
+    rel = (partials.sort_values(["term", "rel_doc"])
+           .groupby("term", as_index=False).first())
+    rel_ref = _ray.put({r["term"]: (int(r["rel_doc"]), int(r["rel_score"]))
+                        for _, r in rel.iterrows()})
+
+    class BetterCounter:
+        def __init__(self):
+            import ray as _r
+
+            self.plan = _r.get(plan_ref)
+            self.rel = _r.get(rel_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            p = self.plan
+            words, dl = _tokens(batch[text_col])
+            tf = _tf_matrix(words, len(batch), p["terms"])
+            keys = batch[key_col].to_numpy()
+            out_t, out_n = [], []
+            for j, term in enumerate(p["terms"]):
+                if term not in self.rel:
+                    continue
+                rd, rs = self.rel[term]
+                hit = np.nonzero(tf[:, j] > 0)[0]
+                if not len(hit):
+                    continue
+                s = score_micro(tf[hit, j], dl[hit],
+                                n_docs=p["n_docs"], df=p["df"][j],
+                                avgdl=p["avgdl"])
+                better = int(((s > rs) | ((s == rs)
+                                          & (keys[hit] < rd))).sum())
+                out_t.append(term)
+                out_n.append(better)
+            return pa.table({"term": pa.array(out_t, pa.string()),
+                             "better": pa.array(out_n, pa.int64())})
+
+    counts = (ds.map_batches(BetterCounter, batch_format="pyarrow",
+                             zero_copy_batch=True, concurrency=(1, 8))
+              .groupby("term").aggregate(Sum("better", alias_name="better"))
+              .to_pandas())
+    out = rel.merge(counts, on="term", how="left").fillna({"better": 0})
+    out["rank"] = out["better"].astype("int64") + 1
+    out["rr_micro"] = (10 ** 6 // out["rank"]).astype("int64")
+    return (out[["term", "rel_doc", "rank", "rr_micro"]]
+            .sort_values("term").reset_index(drop=True))
