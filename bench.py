@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "registered_domains",
     "dehyphenate",
+    "bm25_mrr",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so
