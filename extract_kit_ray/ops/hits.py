@@ -1,8 +1,6 @@
 """Distributed HITS (hubs & authorities, Kleinberg 1999) over a link
 graph — PageRank's companion iterative graph algorithm, expressed in
-the same Ray Data shape as ops/pagerank.py: per half-step ONE narrow
-join (scores onto edges) plus ONE groupby-sum, with the edge table
-materialized once and reused.
+the same Ray Data shape as ops/pagerank.py.
 
 Integer determinism contract (the ops/pagerank.py family rule): scores
 live in micro-units (int64) and each half-step L1-normalizes with
@@ -28,11 +26,23 @@ Integer headroom: after normalization scores sum to <= MICRO + n
 below ~9.2e12 micro-units — the per-batch guard fails loudly (like the
 oracle's HUGEINT-vs-BIGINT cast) rather than wrapping.
 
-Scale shape: score tables are two int64 columns; the only all-to-all
-per half-step is the (src|dst)-keyed aggregate; the L1 total is ONE
-bounded scalar collect per half-step (same honest price as
-redistribute_dangling in pagerank).  Non-negative node ids; -1 is the
-rayfix schema-seed sentinel.
+Scale shape, two-tier on NODE COUNT (the score table is node-sized):
+
+* under :func:`config.broadcast_max_rows`, the score map ships by
+  ``ray.put`` and each half-step is ONE vectorized map over the edge
+  table plus ONE narrow (node, partial-sum) groupby whose result —
+  bounded by the node count, i.e. by the threshold — is collected for
+  the L1 total and the next broadcast.  No joins anywhere on this
+  tier (Ray's hash-shuffle join pays per-partition aggregator startup
+  on every call — 9 joins made this the slowest query in the round-5
+  bench before the tier split).
+* above it, the honest distributed path: per half-step one
+  score-onto-edges join + one groupby-sum; zero-mass nodes are NOT
+  re-attached between iterations (an inner fan treats a missing node
+  exactly as score 0 — proved by the parity of the two tiers), only
+  the FINAL table left-joins the full node set back with fill 0.
+
+Non-negative node ids; -1 is the rayfix schema-seed sentinel.
 """
 
 from __future__ import annotations
@@ -45,11 +55,17 @@ MICRO = 1_000_000
 from .rayfix import seed_int64 as _seed  # noqa: E402  (schema-seed guard)
 
 
-def _half_step(edges_ds, nodes, scores, *, score_col: str, from_col: str,
-               to_col: str, num_partitions: int):
-    """One HITS half-step: fan ``scores`` (node, score) across edges
-    from ``from_col``, sum into ``to_col`` nodes, L1-normalize to MICRO
-    total.  Returns the new (node, score) Dataset (seeded)."""
+def _guard_headroom(r: np.ndarray) -> None:
+    if r.size and int(r.max()) > (2**63 - 1) // MICRO:
+        raise OverflowError(
+            "hits_int: raw * MICRO would exceed int64 "
+            f"(max raw {int(r.max())}); rescale MICRO for this graph")
+
+
+def _half_step_join(edges_ds, scores, *, score_col: str, from_col: str,
+                    to_col: str, num_partitions: int):
+    """Join-tier half-step over SUPPORT nodes only (zero-mass nodes
+    drop out; the final zero-fill re-attaches them once)."""
     from ray.data.aggregate import Sum
 
     fanned = edges_ds.join(
@@ -59,7 +75,7 @@ def _half_step(edges_ds, nodes, scores, *, score_col: str, from_col: str,
     raw = _seed(
         fanned.groupby(to_col).aggregate(Sum(score_col, alias_name="r")),
         **{to_col: -1, "r": 0},
-    ).materialize()  # reused: once for the L1 total, once for the join
+    ).materialize()  # reused: once for the L1 total, once for norm
     total = int(raw.filter(expr=f"{to_col} >= 0").sum("r") or 0)
     if total <= 0:
         raise ValueError(
@@ -70,34 +86,74 @@ def _half_step(edges_ds, nodes, scores, *, score_col: str, from_col: str,
         import pyarrow.compute as pc
 
         r = pc.fill_null(pc.cast(b["r"], pa.int64()), 0).to_numpy()
-        if r.size and int(r.max()) > (2**63 - 1) // MICRO:
-            raise OverflowError(
-                "hits_int: raw * MICRO would exceed int64 "
-                f"(max raw {int(r.max())}); rescale MICRO for this graph")
+        _guard_headroom(r)
         return pa.table({
-            "node": b["node"],
+            "node": b[to_col],
             score_col: pa.array(r * MICRO // total, pa.int64()),
         })
 
     return _seed(
-        nodes.join(raw, join_type="left_outer",
-                   num_partitions=num_partitions,
-                   on=("node",), right_on=(to_col,))
-        .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
+        raw.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
         node=-1, **{score_col: 0},
     )
 
 
+def _half_step_bcast(edges_ds, score_map: dict, *, from_col: str,
+                     to_col: str) -> dict:
+    """Broadcast-tier half-step: one vectorized edge map + one narrow
+    groupby; returns the next node->score dict (bounded by the node
+    count, which this tier guarantees is under the broadcast
+    threshold)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ref = _ray.put(score_map)
+
+    def fan(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        m = _r.get(ref)
+        src = b[from_col].to_pylist()
+        vals = np.fromiter((m.get(k, 0) for k in src), np.int64,
+                           count=len(src))
+        keep = vals != 0
+        return pa.table({
+            "node": pa.array(np.asarray(b[to_col].to_numpy())[keep],
+                             pa.int64()),
+            "s": pa.array(vals[keep], pa.int64()),
+        })
+
+    raw = _seed(
+        edges_ds.map_batches(fan, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("node").aggregate(Sum("s", alias_name="r")),
+        node=-1, r=0,
+    ).to_pandas()
+    raw = raw[raw["node"] >= 0]
+    total = int(raw["r"].sum())
+    if total <= 0:
+        raise ValueError(
+            "hits_int: zero total mass in a half-step (edge set empty or "
+            "disconnected from the score support) — HITS is undefined here")
+    r = raw["r"].to_numpy(dtype=np.int64)
+    _guard_headroom(r)
+    return dict(zip((int(k) for k in raw["node"]),
+                    (int(v) for v in r * MICRO // total)))
+
+
 def hits_int(edges_ds, *, n_iters: int = 2,
-             num_partitions: int | None = None):
+             num_partitions: int | None = None,
+             broadcast_max: int | None = None):
     """(src, dst) int64 edge Dataset -> (node, auth_micro, hub_micro)
     Dataset after ``n_iters`` integer-exact HITS iterations from a
     uniform hub start of MICRO per node."""
     from ray.data.aggregate import Count
 
-    from ..config import resolve_num_partitions
+    from ..config import broadcast_max_rows, resolve_num_partitions
 
     num_partitions = resolve_num_partitions(num_partitions)
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
 
     def col_as(b: pa.Table, src: str, out: str) -> pa.Table:
         return pa.table({out: b[src]})
@@ -113,7 +169,39 @@ def hits_int(edges_ds, *, n_iters: int = 2,
         node=-1,
     ).materialize()
     edges_ds = edges_ds.materialize()  # reused every half-step
+    n_nodes = nodes.filter(expr="node >= 0").count()
 
+    if n_nodes <= broadcast_max:
+        # ---- broadcast tier: dicts between half-steps, zero joins
+        hub = {int(r["node"]): MICRO
+               for r in nodes.filter(expr="node >= 0").take_all()}
+        auth: dict = {}
+        for _ in range(n_iters):
+            auth = _half_step_bcast(edges_ds, hub,
+                                    from_col="src", to_col="dst")
+            hub = _half_step_bcast(edges_ds, auth,
+                                   from_col="dst", to_col="src")
+        import ray as _ray
+
+        a_ref, h_ref = _ray.put(auth), _ray.put(hub)
+
+        def attach(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            am, hm = _r.get(a_ref), _r.get(h_ref)
+            ks = b["node"].to_pylist()
+            return pa.table({
+                "node": b["node"],
+                "auth_micro": pa.array([am.get(k, 0) for k in ks],
+                                       pa.int64()),
+                "hub_micro": pa.array([hm.get(k, 0) for k in ks],
+                                      pa.int64()),
+            })
+
+        return nodes.filter(expr="node >= 0").map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- join tier: support-only iteration, one zero-fill at the end
     hub = nodes.map_batches(
         lambda b: b.append_column(
             "hub_micro", pa.array(np.full(b.num_rows, MICRO, dtype=np.int64))),
@@ -122,21 +210,41 @@ def hits_int(edges_ds, *, n_iters: int = 2,
     hub = _seed(hub, node=-1, hub_micro=MICRO)
     auth = None
     for _ in range(n_iters):
-        auth = _half_step(edges_ds, nodes, hub.select_columns(
+        auth = _half_step_join(edges_ds, hub.select_columns(
             ["node", "hub_micro"]).rename_columns(["node", "s"]),
             score_col="s", from_col="src", to_col="dst",
             num_partitions=num_partitions).rename_columns(
             ["node", "auth_micro"])
-        hub = _half_step(edges_ds, nodes, auth.select_columns(
+        hub = _half_step_join(edges_ds, auth.select_columns(
             ["node", "auth_micro"]).rename_columns(["node", "s"]),
             score_col="s", from_col="dst", to_col="src",
             num_partitions=num_partitions).rename_columns(
             ["node", "hub_micro"])
 
-    out = auth.join(hub, join_type="inner", num_partitions=num_partitions,
-                    on=("node",))
-    return out.filter(expr="node >= 0").select_columns(
-        ["node", "auth_micro", "hub_micro"])
+    from .rayfix import typed_side
+
+    out = typed_side(nodes).join(
+        auth.rename_columns(["a_node", "auth_micro"]),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("node",), right_on=("a_node",))
+    out = typed_side(out).join(
+        hub.rename_columns(["h_node", "hub_micro"]),
+        join_type="left_outer", num_partitions=num_partitions,
+        on=("node",), right_on=("h_node",))
+
+    def fill(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "node": b["node"],
+            "auth_micro": pc.fill_null(
+                pc.cast(b["auth_micro"], pa.int64()), 0),
+            "hub_micro": pc.fill_null(
+                pc.cast(b["hub_micro"], pa.int64()), 0),
+        })
+
+    return out.filter(expr="node >= 0").map_batches(
+        fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def oracle_hits_sql(edges_sql: str, *, n_iters: int = 2) -> str:
