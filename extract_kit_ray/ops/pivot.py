@@ -43,23 +43,31 @@ def pivot_counts(ds, *, key_col: str, cat_col: str,
     if other_col is not None:
         out_cols = out_cols + [other_col]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        # emits ARROW blocks: Ray's sort-aggregate over pandas blocks
+        # is ~10x slower on identical data (measured in BASELINE.md
+        # round 5 — 20.2s vs 2.1s for the same 96k partial rows)
+        import pyarrow as pa
+
         if len(df) == 0:
-            return pd.DataFrame(
-                {key_col: pd.Series([], dtype=np.int64)}
-                | {c: pd.Series([], dtype=np.int64) for c in out_cols})
+            return pa.table(
+                {key_col: pa.array([], pa.int64())}
+                | {c: pa.array([], pa.int64()) for c in out_cols})
         ct = pd.crosstab(df[key_col], df[cat_col])
-        out = pd.DataFrame({key_col: ct.index.to_numpy()})
+        out = {key_col: pa.array(ct.index.to_numpy(), pa.int64())}
         seen = set()
+        n = len(ct)
         for c, oc in zip(cats, out_cols):
             seen.add(c)
-            out[oc] = (ct[c].to_numpy().astype(np.int64)
-                       if c in ct.columns else np.int64(0))
+            vals = (ct[c].to_numpy().astype(np.int64) if c in ct.columns
+                    else np.zeros(n, dtype=np.int64))
+            out[oc] = pa.array(vals, pa.int64())
         if other_col is not None:
             rest = [c for c in ct.columns if c not in seen]
-            out[other_col] = (ct[rest].sum(axis=1).to_numpy()
-                              .astype(np.int64) if rest else np.int64(0))
-        return out
+            vals = (ct[rest].sum(axis=1).to_numpy().astype(np.int64)
+                    if rest else np.zeros(n, dtype=np.int64))
+            out[other_col] = pa.array(vals, pa.int64())
+        return pa.table(out)
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(key_col)
