@@ -36,6 +36,8 @@ import pyarrow as pa
 
 from ..functions.hashing import hash128_batch_signed
 
+from .rayfix import arrow_blocks
+
 
 def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
     if keys.dtype == object or str(keys.dtype).startswith("string"):
@@ -66,7 +68,7 @@ def rank_in_group(ds, *, group_col: str, value_col: str,
         out["__c"] = out["__c"].astype(np.int64)
         return out
 
-    counts = (ds.map_batches(partial, batch_format="pandas")
+    counts = (arrow_blocks(ds.map_batches(partial, batch_format="pandas"))
               .groupby([group_col, value_col])
               .aggregate(Sum("__c", alias_name="__c")))
 

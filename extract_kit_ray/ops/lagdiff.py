@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .rayfix import arrow_blocks
+
 
 DAY_US = 86_400_000_000
 
@@ -88,7 +90,7 @@ def period_over_period(ds, *, key_col: str, period_col: str,
         out["__c"] = out["__c"].astype(np.int64)
         return out
 
-    counts = (ds.map_batches(partial, batch_format="pandas")
+    counts = (arrow_blocks(ds.map_batches(partial, batch_format="pandas"))
               .groupby([key_col, period_col])
               .aggregate(Sum("__c", alias_name=n_alias))
               .materialize())

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .rayfix import arrow_blocks
+
 _I64_MAX = 2**63 - 1
 _COLS = ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")
 
@@ -54,7 +56,7 @@ def group_moments(ds, *, group_col: str, x_col: str, y_col: str):
             agg[c] = vals.astype(np.int64)
         return agg
 
-    return (ds.map_batches(partial, batch_format="pandas")
+    return (arrow_blocks(ds.map_batches(partial, batch_format="pandas"))
             .groupby(group_col)
             .aggregate(*[Sum(c, alias_name=c) for c in _COLS]))
 

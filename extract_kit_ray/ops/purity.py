@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .rayfix import arrow_blocks
+
 from .grouprank import _bucket_of
 
 PPM = 1_000_000
@@ -42,7 +44,7 @@ def group_concentration(ds, *, group_col: str, cat_col: str,
         out["__c"] = out["__c"].astype(np.int64)
         return out
 
-    counts = (ds.map_batches(partial, batch_format="pandas")
+    counts = (arrow_blocks(ds.map_batches(partial, batch_format="pandas"))
               .groupby([group_col, cat_col])
               .aggregate(Sum("__c", alias_name="__c")))
 

@@ -39,6 +39,8 @@ composable :func:`filter_above_group_quantile` gate.
 
 from __future__ import annotations
 
+from .rayfix import arrow_blocks
+
 import numpy as np
 import pandas as pd
 
@@ -73,7 +75,7 @@ def group_quantiles(ds, *, group_col: str, value_col: str,
         out["__c"] = out["__c"].astype(np.int64)
         return out
 
-    counts = (ds.map_batches(partial, batch_format="pandas")
+    counts = (arrow_blocks(ds.map_batches(partial, batch_format="pandas"))
               .groupby([group_col, value_col])
               .aggregate(Sum("__c", alias_name="__c")))
 

@@ -75,3 +75,21 @@ def seed_join_side(ds, table: pa.Table):
 
 def seed_int64(ds, **cols: int):
     return typed_side_int64(ds, **cols)
+
+
+def _identity_batch(b: pa.Table) -> pa.Table:
+    return b
+
+
+def arrow_blocks(ds):
+    """Re-encode a Dataset's blocks as ARROW before a
+    ``groupby().aggregate()``.
+
+    Ray's sort-based aggregate is ~10x slower when its input blocks
+    are pandas (measured, BASELINE.md round 5: identical 96k partial
+    rows, 64 blocks, groupby-sum — 20.2 s pandas vs 2.1 s arrow), so
+    every map-side-combine stage whose UDF returns DataFrames pipes
+    through this one fused pass-through map.  The pandas->arrow
+    conversion happens once per block inside the producing task."""
+    return ds.map_batches(_identity_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

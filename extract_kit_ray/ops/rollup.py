@@ -37,6 +37,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .rayfix import arrow_blocks
+
 
 def _encode(s: pd.Series) -> pd.Series:
     enc = "=" + s.astype("string")
@@ -93,7 +95,7 @@ def rollup_aggregate(ds, group_cols: list[str],
         return out
 
     merged = (
-        ds.map_batches(partial, batch_format="pandas")
+        arrow_blocks(ds.map_batches(partial, batch_format="pandas"))
         .groupby(group_cols)
         .aggregate(Sum(count_alias, alias_name=count_alias),
                    *[Sum(c, alias_name=c) for c in out_sums])

@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .rayfix import arrow_blocks
+
 
 def share_of_group(ds, *, group_col: str, sub_col: str,
                    n_alias: str = "n", total_alias: str = "n_group",
@@ -39,7 +41,7 @@ def share_of_group(ds, *, group_col: str, sub_col: str,
         out["__c"] = out["__c"].astype(np.int64)
         return out
 
-    counts = (ds.map_batches(partial, batch_format="pandas")
+    counts = (arrow_blocks(ds.map_batches(partial, batch_format="pandas"))
               .groupby([group_col, sub_col])
               .aggregate(Sum("__c", alias_name=n_alias))
               .materialize())
