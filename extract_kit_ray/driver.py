@@ -2464,10 +2464,10 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 def q_funnel_conversion(sf_dir: str) -> "ray.data.Dataset":
     """Per-user funnel depth over the events stream (ops/funnel.py):
-    view -> click -> purchase as K chained min-passes — each event
-    rides exactly one shuffle, per-user state is one int64.  Exact
-    int64 microsecond comparisons make the chained-CTE oracle
-    hash-exact."""
+    view -> click -> purchase via ONE bucket shuffle + a vectorized
+    chained-min scan per bucket (masked minimum.reduceat over user
+    segments — no joins, no per-user Python).  Exact int64 microsecond
+    comparisons make the chained-CTE oracle hash-exact."""
     from .ops.funnel import funnel_steps
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",

@@ -1,147 +1,101 @@
 """Distributed funnel analysis over an event stream — "how far down
 the view -> click -> purchase sequence did each user get", the classic
-web-analytics pipeline, expressed as K chained min-passes instead of a
-per-user Python scan.
+web-analytics pipeline.
 
 Semantics: given an ordered step sequence [s1..sK], a user completes
 step i at time t_i = MIN ts of an s_i-typed event with ts STRICTLY
 greater than t_{i-1} (t_0 = -inf).  Greedy earliest-completion is
 optimal for subsequence matching (standard exchange argument), so
-``steps_completed(user) = max i with t_i defined`` and the min-chain
-IS the funnel.  Strict inequality makes ties deterministic: two events
-at the same timestamp can never satisfy consecutive steps.
+``steps_completed(user) = max i with t_i defined``.  Strict inequality
+makes ties deterministic: two events at the same timestamp can never
+satisfy consecutive steps.
 
-Shape: each step-i pass touches ONLY type-s_i events (one vectorized
-mask + groupby-min, plus one narrow inner join of the per-user t_{i-1}
-table for i > 1) — every event row rides exactly one shuffle across
-the whole funnel, and per-user state never exceeds one int64.  No
-map_groups, no per-user Python loop; this is the same K-rounds-of-
-narrow-join shape as ops/pagerank.py with K = funnel length.
+Shape: ONE bucket shuffle (user_id % B — the sessionize pattern), then
+a fully VECTORIZED chained-min scan inside each bucket: rows lexsorted
+by user once, per-step masked ``np.minimum.reduceat`` over the user
+segments — K tiny numpy passes across ALL of the bucket's users at
+once, no per-user Python, no joins, no sequential cross-cluster
+barriers.  (The first implementation ran K chained min-passes with a
+user-table join per step — semantically identical, but it paid K
+sequential executor rounds and per-join aggregator startup; the
+bucketed scan does the whole funnel in one round.  BASELINE.md
+round 5 records the measured swap.)
 
 Integer determinism: timestamps are compared as exact int64
 microseconds (the Arrow timestamp[us] storage), so the chained-CTE
 DuckDB oracle (:func:`oracle_funnel_sql`) matches hash-exact.
-
-Non-negative user ids; -1 is the rayfix schema-seed sentinel.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
-from .rayfix import seed_int64 as _seed
-
 _TS_MIN = np.iinfo(np.int64).min
+_TS_MAX = np.iinfo(np.int64).max
+_FUNNEL_BUCKETS = 32
 
 
 def funnel_steps(events_ds, steps: list[str], *,
                  user_col: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type",
+                 num_buckets: int = _FUNNEL_BUCKETS,
                  num_partitions: int | None = None):
     """Events Dataset -> (user_id, steps_completed) Dataset: for every
     user with at least one funnel-typed event, the longest prefix of
-    ``steps`` completed in strict timestamp order."""
-    from ray.data.aggregate import Count, Max, Min
+    ``steps`` completed in strict timestamp order.
 
-    from ..config import resolve_num_partitions
-
+    ``num_partitions`` is accepted for API compatibility with the
+    join-chain implementation this replaced; the bucketed scan's only
+    exchange is the bucket groupby, whose spread is ``num_buckets``."""
     if not steps:
         raise ValueError("funnel_steps: need at least one step")
-    num_partitions = resolve_num_partitions(num_partitions)
     step_set = list(dict.fromkeys(steps))  # preserve order, dedup for mask
 
     def project(batch: pa.Table) -> pa.Table:
         et = batch[type_col].to_pandas().to_numpy()
         keep = np.isin(et, step_set)
         ts = batch[ts_col].cast(pa.timestamp("us")).to_numpy()[keep]
+        uid = batch[user_col].to_numpy()[keep]
         return pa.table({
-            "user_id": pa.array(batch[user_col].to_numpy()[keep], pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
             "ts_us": pa.array(ts.astype("datetime64[us]").astype(np.int64),
                               pa.int64()),
             "et": pa.array(et[keep]),
+            "bucket": pa.array((uid % num_buckets).astype(np.int32)),
         })
 
-    ev = events_ds.map_batches(project, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
+    bucketed = events_ds.map_batches(project, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
-    users = _seed(
-        ev.groupby("user_id").aggregate(Count(alias_name="_n"))
-        .select_columns(["user_id"]),
-        user_id=-1,
-    )
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        et = df["et"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        uid = u[starts]
+        n = len(starts)
+        seg = np.repeat(np.arange(n), np.diff(np.r_[starts, len(u)]))
+        tprev = np.full(n, _TS_MIN, dtype=np.int64)
+        completed = np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        for step in steps:
+            mask = (et == step) & (ts > tprev[seg]) & alive[seg]
+            big = np.where(mask, ts, _TS_MAX)
+            m = np.minimum.reduceat(big, starts) if len(u) else big
+            ok = alive & (m < _TS_MAX)
+            completed[ok] += 1
+            tprev = np.where(ok, m, tprev)
+            alive = ok
+            if not alive.any():
+                break
+        return pd.DataFrame({"user_id": uid, "steps_completed": completed})
 
-    def only(step: str):
-        def f(batch: pa.Table) -> pa.Table:
-            keep = batch["et"].to_pandas().to_numpy() == step
-            return pa.table({
-                "user_id": pa.array(batch["user_id"].to_numpy()[keep],
-                                    pa.int64()),
-                "ts_us": pa.array(batch["ts_us"].to_numpy()[keep], pa.int64()),
-            })
-        return f
-
-    levels = []
-    t_prev = None
-    for i, step in enumerate(steps):
-        evi = ev.map_batches(only(step), batch_format="pyarrow",
-                             zero_copy_batch=True)
-        if i > 0:
-            # attach t_{i-1} and keep strictly-later events only.  The
-            # left side must carry a typed sentinel (rayfix): a step
-            # with zero events would otherwise feed the hash join
-            # schema-less empty shards and Acero rejects the key.  The
-            # sentinel matches t_prev's own sentinel (pu = -1) but the
-            # strict ts filter below drops it (_TS_MIN > _TS_MIN).
-            evi = _seed(evi, user_id=-1, ts_us=_TS_MIN)
-            evi = evi.join(t_prev, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("user_id",), right_on=("pu",))
-            evi = evi.map_batches(
-                lambda b: pa.table({
-                    "user_id": b["user_id"].filter(
-                        pa.array(b["ts_us"].to_numpy() > b["pt"].to_numpy())),
-                    "ts_us": b["ts_us"].filter(
-                        pa.array(b["ts_us"].to_numpy() > b["pt"].to_numpy())),
-                }),
-                batch_format="pyarrow", zero_copy_batch=True)
-        ti = _seed(
-            evi.groupby("user_id").aggregate(Min("ts_us", alias_name="t")),
-            user_id=-1, t=_TS_MIN,
-        ).materialize()
-        levels.append(ti.map_batches(
-            lambda b, s=i + 1: pa.table({
-                "user_id": b["user_id"],
-                "step": pa.array(np.full(b.num_rows, s), pa.int64()),
-            }),
-            batch_format="pyarrow", zero_copy_batch=True))
-        t_prev = ti.map_batches(
-            lambda b: pa.table({"pu": b["user_id"], "pt": b["t"]}),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
-
-    reached = levels[0]
-    for lvl in levels[1:]:
-        reached = reached.union(lvl)
-    best = _seed(
-        reached.groupby("user_id").aggregate(
-            Max("step", alias_name="steps_completed")),
-        user_id=-1, steps_completed=0,
-    )
-
-    joined = users.join(best, join_type="left_outer",
-                        num_partitions=num_partitions, on=("user_id",))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        u = batch["user_id"]
-        s = pc.fill_null(pc.cast(batch["steps_completed"], pa.int64()), 0)
-        keep = pa.array(u.to_numpy() >= 0)
-        return pa.table({"user_id": u.filter(keep),
-                         "steps_completed": s.filter(keep)})
-
-    return joined.map_batches(finish, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(scan_bucket,
+                                                 batch_format="pandas")
 
 
 def _q(s: str) -> str:
