@@ -54,14 +54,29 @@ def _fuse(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a.astype(np.int64) << 31) | b.astype(np.int64)
 
 
-def triangle_counts(edges_ds, *, num_partitions: int | None = None):
+_WEDGE_BUCKETS = 32
+
+
+def triangle_counts(edges_ds, *, num_partitions: int | None = None,
+                    broadcast_max: int | None = None):
     """(src, dst) int64 edge Dataset -> (node, triangles) Dataset:
-    per-node triangle participation over the undirected simple graph."""
+    per-node triangle participation over the undirected simple graph.
+
+    Two-tier (the ops/hits.py pattern): the degree table is node-sized
+    and the closing-edge key set is edge-sized — under
+    :func:`config.broadcast_max_rows` both broadcast (degree dict into
+    the orientation map, sorted key array into an ``isin`` filter) and
+    the pipeline runs with ZERO joins; above it, the orientation
+    attaches via two narrow joins and the wedge->edge match is the
+    hash join.  Wedge generation is bucketed (u % B) either way, so
+    map_groups pays per-BUCKET overhead, not per-apex."""
     from ray.data.aggregate import Count
 
-    from ..config import resolve_num_partitions
+    from ..config import broadcast_max_rows, resolve_num_partitions
 
     num_partitions = resolve_num_partitions(num_partitions)
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
 
     def canon(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy()
@@ -103,25 +118,11 @@ def triangle_counts(edges_ds, *, num_partitions: int | None = None):
         node=-1, deg=0,
     ).materialize()
 
-    # orient each edge from the smaller (deg, node) rank to the larger;
-    # two narrow joins attach endpoint degrees (distinct column names
-    # per side so the second join can't collide)
-    def deg_as(na: str, dcol: str):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table({na: batch["node"], dcol: batch["deg"]})
-        return f
+    n_nodes = deg.count()
+    n_edges = und_ab.count()
+    bcast = max(n_nodes, n_edges) <= broadcast_max
 
-    deg_a = deg.map_batches(deg_as("na", "deg_a"), batch_format="pyarrow",
-                            zero_copy_batch=True)
-    deg_b = deg.map_batches(deg_as("nb", "deg_b"), batch_format="pyarrow",
-                            zero_copy_batch=True)
-    eab = und_ab.join(deg_a, join_type="inner",
-                      num_partitions=num_partitions,
-                      on=("a",), right_on=("na",)) \
-                .join(deg_b, join_type="inner",
-                      num_partitions=num_partitions,
-                      on=("b",), right_on=("nb",))
-
+    # orient each edge from the smaller (deg, node) rank to the larger
     def orient(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
@@ -135,47 +136,101 @@ def triangle_counts(edges_ds, *, num_partitions: int | None = None):
                          "v": pa.array(v, pa.int64()),
                          "deg_v": pa.array(dv, pa.int64())})
 
-    oriented = _seed(
-        eab.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True),
-        u=-1, v=-1, deg_v=0,
-    ).materialize()
+    if bcast:
+        # broadcast tier: sorted (node, deg) arrays attach degrees with
+        # two searchsorted gathers — no joins
+        import ray as _ray
 
-    def wedges(group: pa.Table) -> pa.Table:
+        dd = deg.filter(expr="node >= 0").to_pandas()
+        nodes_arr = dd["node"].to_numpy(dtype=np.int64)
+        order = np.argsort(nodes_arr)
+        deg_ref = _ray.put((nodes_arr[order],
+                            dd["deg"].to_numpy(dtype=np.int64)[order]))
+
+        def attach_deg(batch: pa.Table) -> pa.Table:
+            import ray as _r
+
+            keys, degs = _r.get(deg_ref)
+            a = batch["a"].to_numpy()
+            b = batch["b"].to_numpy()
+            da = degs[np.searchsorted(keys, a)]
+            db = degs[np.searchsorted(keys, b)]
+            return orient(pa.table({
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "deg_a": pa.array(da, pa.int64()),
+                "deg_b": pa.array(db, pa.int64())}))
+
+        oriented = und_ab.map_batches(attach_deg, batch_format="pyarrow",
+                                      zero_copy_batch=True).materialize()
+    else:
+        def deg_as(na: str, dcol: str):
+            def f(batch: pa.Table) -> pa.Table:
+                return pa.table({na: batch["node"], dcol: batch["deg"]})
+            return f
+
+        deg_a = deg.map_batches(deg_as("na", "deg_a"),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+        deg_b = deg.map_batches(deg_as("nb", "deg_b"),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+        eab = und_ab.join(deg_a, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("a",), right_on=("na",)) \
+                    .join(deg_b, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("b",), right_on=("nb",))
+        oriented = _seed(
+            eab.map_batches(orient, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            u=-1, v=-1, deg_v=0,
+        ).materialize()
+
+    # wedge generation bucketed on apex % B: map_groups pays per-BUCKET
+    # overhead; inside, a per-apex loop of tiny numpy slices
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        return batch.append_column(
+            "wbucket", pa.array((u % _WEDGE_BUCKETS).astype(np.int32)))
+
+    def bucket_wedges(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy()
         v = group["v"].to_numpy()
         dv = group["deg_v"].to_numpy()
-        u = int(group["u"][0].as_py())
-        if u < 0 or v.size < 2:
+        keep = u >= 0
+        u, v, dv = u[keep], v[keep], dv[keep]
+        if not u.size:
             return pa.table({"wpair": pa.array([], pa.int64()),
                              "apex": pa.array([], pa.int64())})
-        # neighbors sorted by rank so the wedge key (lo, hi) matches the
-        # closing ORIENTED edge's fused key exactly
-        order = np.lexsort((v, dv))
-        v = v[order]
-        i, j = np.triu_indices(v.size, k=1)
-        return pa.table({"wpair": pa.array(_fuse(v[i], v[j]), pa.int64()),
-                         "apex": pa.array(np.full(i.size, u), pa.int64())})
+        # neighbors sorted by rank within each apex so the wedge key
+        # (lo, hi) matches the closing ORIENTED edge's fused key
+        order = np.lexsort((v, dv, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        wp, ap = [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            wp.append(_fuse(v[s + i], v[s + j]))
+            ap.append(np.full(i.size, u[s], dtype=np.int64))
+        if not wp:
+            return pa.table({"wpair": pa.array([], pa.int64()),
+                             "apex": pa.array([], pa.int64())})
+        return pa.table({
+            "wpair": pa.array(np.concatenate(wp), pa.int64()),
+            "apex": pa.array(np.concatenate(ap), pa.int64())})
 
     wedge_ds = _seed(
-        oriented.groupby("u").map_groups(wedges, batch_format="pyarrow"),
+        oriented.map_batches(add_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("wbucket").map_groups(bucket_wedges,
+                                       batch_format="pyarrow"),
         wpair=-1, apex=-1,
     )
-
-    # closing edges: fused oriented keys (rank order, NOT a<b order)
-    def okey(batch: pa.Table) -> pa.Table:
-        u = batch["u"].to_numpy()
-        v = batch["v"].to_numpy()
-        keep = u >= 0
-        return pa.table({"wpair": pa.array(_fuse(u[keep], v[keep]),
-                                           pa.int64())})
-
-    closing = _seed(
-        oriented.map_batches(okey, batch_format="pyarrow",
-                             zero_copy_batch=True),
-        wpair=-1,
-    )
-
-    tri = wedge_ds.join(closing, join_type="inner",
-                        num_partitions=num_partitions, on=("wpair",))
 
     def corners(batch: pa.Table) -> pa.Table:
         w = batch["wpair"].to_numpy()
@@ -184,6 +239,44 @@ def triangle_counts(edges_ds, *, num_partitions: int | None = None):
         w, apex = w[keep], apex[keep]
         return pa.table({"node": pa.array(
             np.concatenate([apex, w >> 31, w & (_MAX_ID - 1)]), pa.int64())})
+
+    if bcast:
+        # closing-edge membership via a broadcast sorted key array
+        import ray as _ray
+
+        ok = oriented.to_pandas()
+        okeys = np.sort(_fuse(ok["u"].to_numpy(dtype=np.int64),
+                              ok["v"].to_numpy(dtype=np.int64)))
+        okeys_ref = _ray.put(okeys[okeys >= 0])
+
+        def close_filter(batch: pa.Table) -> pa.Table:
+            import ray as _r
+
+            keys = _r.get(okeys_ref)
+            w = batch["wpair"].to_numpy()
+            if not len(keys):
+                return batch.filter(pa.array(np.zeros(len(w), bool)))
+            pos = np.minimum(np.searchsorted(keys, w), len(keys) - 1)
+            return batch.filter(pa.array(keys[pos] == w))
+
+        tri = wedge_ds.map_batches(close_filter, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        # closing edges: fused oriented keys (rank order, NOT a<b order)
+        def okey(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy()
+            v = batch["v"].to_numpy()
+            keep = u >= 0
+            return pa.table({"wpair": pa.array(_fuse(u[keep], v[keep]),
+                                               pa.int64())})
+
+        closing = _seed(
+            oriented.map_batches(okey, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            wpair=-1,
+        )
+        tri = wedge_ds.join(closing, join_type="inner",
+                            num_partitions=num_partitions, on=("wpair",))
 
     return (
         tri.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True)
