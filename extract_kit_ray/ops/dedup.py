@@ -170,9 +170,15 @@ def exact_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
         add_text_hash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # narrow 24-byte (h1, h2, key) projection, MATERIALIZED before the
+    # groupby: Ray's sort-aggregate re-samples/re-executes a streaming
+    # upstream (measured ~8-13x on identical data, BASELINE.md round
+    # 5), and this upstream re-runs the per-doc blake2b hash pass.
+    # The pinned rows are exactly what the shuffle moves anyway.
+    narrow = hashed.select_columns(
+        ["text_hash", "text_hash2", key_col]).materialize()
     groups = (
-        hashed.select_columns(["text_hash", "text_hash2", key_col])
-        .groupby(["text_hash", "text_hash2"])
+        narrow.groupby(["text_hash", "text_hash2"])
         .aggregate(Min(key_col, alias_name="min_key"), Count(alias_name="n"))
     )
     # materialize: the count is then free metadata, and both the
