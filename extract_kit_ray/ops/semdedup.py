@@ -63,6 +63,13 @@ def semantic_dedup(ds, *, vec_col: str = "embedding",
         max_cluster_members = lsh_bucket_cap()
     cap = max_cluster_members if max_cluster_members > 0 else None
 
+    # iterative algorithm: the fit makes n_iters+1 full passes, the
+    # assignment and the endpoint-vector fetch two more — materialize
+    # the (key, vector) projection ONCE instead of re-reading parquet
+    # per pass (callers pass only the needed columns; the object store
+    # spills if the vector corpus exceeds memory)
+    ds = ds.materialize()
+
     if centroids is None:
         centroids = kmeans_fit(ds, vec_col=vec_col, key_col=key_col, k=k,
                                n_iters=n_iters)
