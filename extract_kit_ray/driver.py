@@ -6596,3 +6596,101 @@ def _bm25_mrr_oracle() -> str:
 
 QUERIES["bm25_mrr"] = q_bm25_mrr
 ORACLE_SQL["bm25_mrr"] = _bm25_mrr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: outlink extraction and Unicode script mix
+# ---------------------------------------------------------------------------
+
+def q_extract_outlinks(sf_dir: str) -> "ray.data.Dataset":
+    """Outlink harvesting (ops/links.py) — the bridge from the
+    extraction family to the link-graph family: planted pages carry a
+    root-relative link, an absolute link with an ``&amp;``-escaped
+    query, and distractors (fragment-only, mailto, single-quoted
+    duplicate suppressed by position) that the regex + entity-decode +
+    resolution subset must handle exactly.  Stateless per-doc scan,
+    zero shuffles; the oracle states the resolved links closed-form."""
+    from .ops.links import outlinks_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        htmls, bases = [], []
+        for d in ids:
+            base = f"https://site{d % 5}.example/dir/page{d}"
+            html = (
+                f'<html><body><p>x</p>'
+                f'<a class="n" href="/p/{d % 7}">rel</a>'
+                f'<a href="#top">frag</a>'
+                f'<a href="mailto:a@b.example">mail</a>'
+                f"<a href='https://other{d % 3}.example/q?a=1&amp;b=2'>abs</a>"
+                f'<a href="javascript:void(0)">js</a>'
+                f'</body></html>')
+            htmls.append(html)
+            bases.append(base)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "html": pa.array(htmls, pa.string()),
+                         "url": pa.array(bases, pa.string())})
+
+    return ds.map_batches(plant, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        outlinks_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["extract_outlinks"] = (
+    "SELECT doc_id, 0 AS link_no, "
+    "'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example/p/' || "
+    "CAST(doc_id % 7 AS VARCHAR) AS url FROM documents "
+    "UNION ALL SELECT doc_id, 1 AS link_no, "
+    "'https://other' || CAST(doc_id % 3 AS VARCHAR) || "
+    "'.example/q?a=1&b=2' AS url FROM documents"
+)
+
+
+_SCRIPT_PATTERNS = [("latin", r"\p{Latin}"), ("cyrillic", r"\p{Cyrillic}"),
+                    ("han", r"\p{Han}"), ("arabic", r"\p{Arabic}")]
+
+
+def q_script_mix(sf_dir: str) -> "ray.data.Dataset":
+    """Unicode script-mix detection — the cheap pre-langid routing
+    signal for multilingual crawls: per-doc codepoint counts for
+    Latin/Cyrillic/Han/Arabic via one RE2 ``\\p{Script}`` count kernel
+    each, identical in pyarrow and DuckDB.  Script snippets planted on
+    a doc_id % 4 schedule so every class is exercised.  Stateless map,
+    zero shuffles."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def mix(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        tails = np.select(
+            [did % 4 == 1, did % 4 == 2, did % 4 == 3],
+            [" Привет мир", " 你好世界", " مرحبا بالعالم"], "")
+        planted = pc.binary_join_element_wise(
+            batch["text"], pa.array(tails.tolist(), pa.string()), "")
+        out = {"doc_id": batch["doc_id"]}
+        for name, pat in _SCRIPT_PATTERNS:
+            out[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(planted, pat), pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(mix, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _script_mix_oracle() -> str:
+    plant = ("text || CASE doc_id % 4 WHEN 1 THEN ' Привет мир' "
+             "WHEN 2 THEN ' 你好世界' WHEN 3 THEN ' مرحبا بالعالم' "
+             "ELSE '' END")
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all({plant}, '\\p{{{name.capitalize()}}}'"
+        f")) AS BIGINT) AS n_{name}"
+        for name, _pat in _SCRIPT_PATTERNS)
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+QUERIES["extract_outlinks"] = q_extract_outlinks
+QUERIES["script_mix"] = q_script_mix
+ORACLE_SQL["script_mix"] = _script_mix_oracle()

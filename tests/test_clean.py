@@ -138,3 +138,29 @@ def test_registered_domain_rules():
     assert rd("notco.uk") == "notco.uk"               # 'uk' match, not 'co.uk'
     # label boundary: 'xco.uk' must NOT match suffix 'co.uk'
     assert rd("a.xco.uk") == "xco.uk"
+
+
+# ----------------------------------------------------------------- links
+
+def test_extract_outlinks_contract():
+    from extract_kit_ray.ops.links import extract_outlinks
+
+    html = ('<a href="/a">1</a> <A HREF=\'https://x.example/b\'>2</A> '
+            '<a href=/c>unquoted</a> <a href="#f">s</a> '
+            '<a href="mailto:a@b">s</a> <a href="//proto.example/p">s</a> '
+            '<a href="rel/dir">s</a> <a name="x">no href</a> '
+            '<a href="?a=1&amp;b=2">s</a> '
+            '<a href="https://y.example/?q=1&amp;r=2">abs-ent</a>')
+    out = extract_outlinks(html, "https://base.example/dir/page")
+    assert out == ["https://base.example/a", "https://x.example/b",
+                   "https://base.example/c",
+                   "https://y.example/?q=1&r=2"]
+
+
+def test_extract_outlinks_no_base_origin():
+    from extract_kit_ray.ops.links import extract_outlinks
+
+    # unparseable base: root-relative links are dropped, absolute kept
+    out = extract_outlinks('<a href="/a">1</a><a href="http://e/b">2</a>',
+                           "not-a-url")
+    assert out == ["http://e/b"]
