@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     "registered_domains",
     "dehyphenate",
     "bm25_mrr",
+    "extract_outlinks",
+    "script_mix",
+    "domain_pagerank",
+    "pagerank_links",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -6694,3 +6694,77 @@ def _script_mix_oracle() -> str:
 QUERIES["extract_outlinks"] = q_extract_outlinks
 QUERIES["script_mix"] = q_script_mix
 ORACLE_SQL["script_mix"] = _script_mix_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: end-to-end pages -> outlinks -> domain graph -> PageRank
+# ---------------------------------------------------------------------------
+
+def q_domain_pagerank(sf_dir: str) -> "ray.data.Dataset":
+    """The full web loop in ONE streaming pipeline: planted HTML pages
+    -> outlink harvest (ops/links.py regex + entity decode +
+    resolution) -> vectorized host-digit parse to integer domain ids
+    (site{k} -> k, other{j} -> 100 + j) -> integer-exact distributed
+    PageRank (ops/pagerank.py) over the resulting multi-edge domain
+    graph.  Multi-edges kept as multiplicity on BOTH sides; the
+    other{j} nodes are dangling (default leak semantics, as
+    pagerank_links).  The oracle feeds the closed-form edge plant to
+    the same chained-CTE PageRank mirror — extraction, graph build and
+    the iterative algorithm are all inside one hash check."""
+    from .ops.links import outlinks_batch
+    from .ops.pagerank import pagerank_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        htmls, bases = [], []
+        for d in ids:
+            bases.append(f"https://site{d % 5}.example/dir/page{d}")
+            htmls.append(
+                f'<html><body><a href="/p/{d % 7}">rel</a>'
+                f"<a href='https://other{d % 3}.example/q?a=1&amp;b=2'>x</a>"
+                f'</body></html>')
+        return pa.table({"doc_id": batch["doc_id"],
+                         "html": pa.array(htmls, pa.string()),
+                         "url": pa.array(bases, pa.string())})
+
+    links = (ds.map_batches(plant, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .map_batches(outlinks_batch, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        site = pc.extract_regex(batch["url"],
+                                r"^https://site(?P<k>\d+)\.example")
+        other = pc.extract_regex(batch["url"],
+                                 r"^https://other(?P<j>\d+)\.example")
+        k = pc.struct_field(site, "k")
+        j = pc.struct_field(other, "j")
+        kv = np.array([int(x) if x is not None else -1
+                       for x in k.to_pylist()], dtype=np.int64)
+        jv = np.array([int(x) if x is not None else -1
+                       for x in j.to_pylist()], dtype=np.int64)
+        dst = np.where(kv >= 0, kv, 100 + jv)
+        keep = (kv >= 0) | (jv >= 0)
+        src = batch["doc_id"].to_numpy() % 5
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return pagerank_int(edges, n_iters=3)
+
+
+def _domain_pagerank_oracle() -> str:
+    from .ops.pagerank import oracle_pagerank_sql
+
+    edges = ("SELECT doc_id % 5 AS src, doc_id % 5 AS dst FROM documents "
+             "UNION ALL SELECT doc_id % 5 AS src, 100 + doc_id % 3 AS dst "
+             "FROM documents")
+    return oracle_pagerank_sql(edges, n_iters=3)
+
+
+QUERIES["domain_pagerank"] = q_domain_pagerank
+ORACLE_SQL["domain_pagerank"] = _domain_pagerank_oracle()

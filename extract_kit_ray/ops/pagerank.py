@@ -62,11 +62,20 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
     collect, the honest distributed price of the redistribution; the
     K-round loop already synchronizes per round).
 
+    Two-tier on NODE COUNT (the ops/hits.py pattern): under
+    :func:`config.broadcast_max_rows` the rank and out-degree tables
+    are node-sized dicts, per-source contributions are computed
+    driver-side, and each round is ONE vectorized edge map + ONE
+    narrow (dst, partial) groupby with a bounded collect — zero joins;
+    above the threshold, the original 3-joins-per-round distributed
+    path.  Both tiers are integer-identical (same formula, same
+    operands).
+
     Contract: node ids are NON-NEGATIVE int64 (-1 is reserved as the
     schema-seed sentinel, see :func:`_seed`)."""
     from ray.data.aggregate import Count, Sum
 
-    from ..config import resolve_num_partitions
+    from ..config import broadcast_max_rows, resolve_num_partitions
 
     num_partitions = resolve_num_partitions(num_partitions)
     base = MICRO - damping_micro
@@ -90,6 +99,13 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
         src=-1, outdeg=1,
     ).materialize()
     edges_ds = edges_ds.materialize()  # reused every round
+
+    n_total = nodes.filter(expr="node >= 0").count()
+    if n_total <= broadcast_max_rows():
+        return _pagerank_bcast(
+            edges_ds, nodes, outdeg, n_iters=n_iters,
+            damping_micro=damping_micro,
+            redistribute_dangling=redistribute_dangling)
 
     n_nodes = 0
     if redistribute_dangling:
@@ -195,6 +211,83 @@ def pagerank_int(edges_ds, *, n_iters: int = 3, damping_micro: int = 850_000,
     if redistribute_dangling:
         out = out.select_columns(["node", "pr_micro"])
     return out
+
+
+def _pagerank_bcast(edges_ds, nodes, outdeg, *, n_iters: int,
+                    damping_micro: int, redistribute_dangling: bool):
+    """Broadcast-tier iteration (see :func:`pagerank_int`): rank and
+    out-degree live as node-sized driver arrays (bounded by the
+    broadcast threshold); each round ships the per-source contribution
+    dict via ``ray.put``, fans it across the materialized edge table
+    with one vectorized map, and collects the narrow (dst, sum) table.
+    Formula and operand order identical to the join tier."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    base = MICRO - damping_micro
+    od = {int(r["src"]): int(r["outdeg"])
+          for r in outdeg.take_all() if int(r["src"]) >= 0}
+    all_nodes = [int(r["node"]) for r in nodes.take_all()
+                 if int(r["node"]) >= 0]
+    n_nodes = len(all_nodes)
+    pr = {n: MICRO for n in all_nodes}
+
+    for _ in range(n_iters):
+        share = 0
+        if redistribute_dangling and n_nodes:
+            dang_mass = sum(v for n, v in pr.items() if n not in od)
+            share = (dang_mass * damping_micro // MICRO) // n_nodes
+        # per-source contribution, driver-side exact Python ints (the
+        # headroom guard is implicit: Python ints cannot wrap, and the
+        # join tier's guard condition is checked explicitly)
+        contrib = {}
+        for n, deg in od.items():
+            p = pr[n]
+            if p > (2**63 - 1) // damping_micro:
+                raise OverflowError(
+                    "pagerank_int: pr_micro * damping_micro would exceed "
+                    f"int64 (max pr_micro {p}); rescale MICRO or lower "
+                    "damping for this graph")
+            contrib[n] = (p * damping_micro // MICRO) // deg
+        ref = _ray.put(contrib)
+
+        def fan(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            m = _r.get(ref)
+            src = b["src"].to_pylist()
+            vals = np.fromiter((m.get(k, 0) for k in src), np.int64,
+                               count=len(src))
+            keep = vals != 0
+            return pa.table({
+                "dst": pa.array(b["dst"].to_numpy()[keep], pa.int64()),
+                "c": pa.array(vals[keep], pa.int64()),
+            })
+
+        summed = _seed(
+            edges_ds.map_batches(fan, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("dst").aggregate(Sum("c", alias_name="s")),
+            dst=-1, s=0,
+        ).take_all()
+        sums = {int(r["dst"]): int(r["s"]) for r in summed
+                if int(r["dst"]) >= 0}
+        pr = {n: base + share + sums.get(n, 0) for n in all_nodes}
+
+    pr_ref = _ray.put(pr)
+
+    def attach(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        m = _r.get(pr_ref)
+        ks = [k for k in b["node"].to_pylist() if k >= 0]
+        return pa.table({
+            "node": pa.array(ks, pa.int64()),
+            "pr_micro": pa.array([m[k] for k in ks], pa.int64()),
+        })
+
+    return nodes.map_batches(attach, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def oracle_pagerank_sql(edges_sql: str, *, n_iters: int = 3,
