@@ -114,11 +114,60 @@ def connected_components_ds(
     )
 
     pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return keys_only.map_batches(
             lambda b, c=key_col: b.append_column("cluster_rep", b[c]),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+
+    if n_pairs <= broadcast_max:
+        # broadcast tier (the ops/hits.py pattern, same threshold): the
+        # pair table is bounded by the broadcast cap, so a driver
+        # union-find + one ray.put label map replaces the log-round
+        # groupby iteration entirely; labels are min-of-component, the
+        # identical contract hash-to-min converges to.  The keys
+        # Dataset still only STREAMS through the attach map.
+        import ray as _ray
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs_ds.take_all():
+            a, b = int(r["key_a"]), int(r["key_b"])
+            for k in (a, b):
+                if k not in parent:
+                    parent[k] = k
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps the representative the component
+                # minimum without a second pass
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+        label = {k: find(k) for k in parent}
+        ref = _ray.put(label)
+
+        def attach(b: pa.Table, c=key_col) -> pa.Table:
+            import ray as _r
+
+            m = _r.get(ref)
+            ks = b[c].to_pylist()
+            return pa.table({
+                c: pa.array(ks, pa.int64()),
+                "cluster_rep": pa.array([m.get(k, k) for k in ks],
+                                        pa.int64()),
+            })
+
+        return keys_only.map_batches(attach, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
     adj = _init_adjacency(pairs_ds)
     buckets = _round(adj)

@@ -968,10 +968,18 @@ def test_components_nonconvergence_raises(ray_session):
          "key_b": np.arange(1, n, dtype=np.int64)}))
     keys = ray.data.from_pandas(pd.DataFrame(
         {"doc_id": np.arange(n, dtype=np.int64)}))
+    # broadcast_max=0 pins the ITERATIVE tier (the broadcast tier's
+    # driver union-find needs no rounds and cannot non-converge)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_ds(pairs, keys, max_rounds=1,
-                                num_partitions=2).materialize()
+                                num_partitions=2,
+                                broadcast_max=0).materialize()
     # and with enough rounds the same chain resolves to one component
+    out = connected_components_ds(pairs, keys, max_rounds=16,
+                                  num_partitions=2,
+                                  broadcast_max=0).take_all()
+    assert all(r["cluster_rep"] == 0 for r in out)
+    # the broadcast tier resolves the same chain identically
     out = connected_components_ds(pairs, keys, max_rounds=16,
                                   num_partitions=2).take_all()
     assert all(r["cluster_rep"] == 0 for r in out)
