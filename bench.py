@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "script_mix",
     "domain_pagerank",
     "pagerank_links",
+    "idn_hosts",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -6768,3 +6768,75 @@ def _domain_pagerank_oracle() -> str:
 
 QUERIES["domain_pagerank"] = q_domain_pagerank
 ORACLE_SQL["domain_pagerank"] = _domain_pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: IDN (punycode) host decoding
+# ---------------------------------------------------------------------------
+
+def _decode_idn(host: str) -> tuple[str, bool]:
+    """Punycode host -> Unicode via the stdlib idna codec; malformed
+    labels keep the wire form with ok=False (failure-as-data)."""
+    try:
+        return host.encode("ascii").decode("idna"), True
+    except (UnicodeError, UnicodeDecodeError):
+        return host, False
+
+
+def q_idn_hosts(sf_dir: str) -> "ray.data.Dataset":
+    """Internationalized-domain decoding — multilingual crawls carry
+    xn-- punycode hosts on the wire; per-domain rollups need the
+    Unicode form.  Hosts planted across real punycode (Latin-diacritic
+    and Cyrillic labels), plain ASCII, and one MALFORMED label that
+    must fall back to the wire form with ok=false, not raise.  The
+    engine runs the real RFC 3492 decode (stdlib idna codec); the
+    oracle states the expected Unicode closed-form — a decoder bug
+    breaks the hash."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hosts, out, ok = [], [], []
+        for d in ids:
+            if d % 13 == 6:
+                h = "xn--zzz@@.example"     # malformed punycode
+            elif d % 4 == 0:
+                h = "xn--mnchen-3ya.example"
+            elif d % 4 == 1:
+                h = "xn--caf-dma.example"
+            elif d % 4 == 2:
+                h = "xn--80akhbyknj4f.example"
+            else:
+                h = f"plain{d % 7}.example"
+            u, good = _decode_idn(h)
+            hosts.append(h)
+            out.append(u)
+            ok.append(good)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "host": pa.array(hosts, pa.string()),
+                         "unicode_host": pa.array(out, pa.string()),
+                         "ok": pa.array(ok, pa.bool_())})
+
+    return ds.map_batches(decode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+ORACLE_SQL["idn_hosts"] = (
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 13 = 6 THEN 'xn--zzz@@.example' "
+    "WHEN doc_id % 4 = 0 THEN 'xn--mnchen-3ya.example' "
+    "WHEN doc_id % 4 = 1 THEN 'xn--caf-dma.example' "
+    "WHEN doc_id % 4 = 2 THEN 'xn--80akhbyknj4f.example' "
+    "ELSE 'plain' || CAST(doc_id % 7 AS VARCHAR) || '.example' END "
+    "AS host, "
+    "CASE WHEN doc_id % 13 = 6 THEN 'xn--zzz@@.example' "
+    "WHEN doc_id % 4 = 0 THEN 'münchen.example' "
+    "WHEN doc_id % 4 = 1 THEN 'café.example' "
+    "WHEN doc_id % 4 = 2 THEN 'испытание.example' "
+    "ELSE 'plain' || CAST(doc_id % 7 AS VARCHAR) || '.example' END "
+    "AS unicode_host, "
+    "doc_id % 13 <> 6 AS ok FROM documents"
+)
+
+QUERIES["idn_hosts"] = q_idn_hosts
