@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "domain_pagerank",
     "pagerank_links",
     "idn_hosts",
+    "winnow_selection",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

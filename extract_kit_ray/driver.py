@@ -6840,3 +6840,34 @@ ORACLE_SQL["idn_hosts"] = (
 )
 
 QUERIES["idn_hosts"] = q_idn_hosts
+
+
+# ---------------------------------------------------------------------------
+# Round-5: winnowing fingerprint selection
+# ---------------------------------------------------------------------------
+
+def q_winnow_selection(sf_dir: str) -> "ray.data.Dataset":
+    """Winnowing (ops/winnow.py — the MOSS fingerprint selector,
+    SIGMOD'03) with the lexicographic-order variant that makes the
+    whole selection REPLAYABLE in SQL: per-doc window-min k-grams
+    (monotone-deque O(n) engine pass vs one window-MIN in DuckDB),
+    summarized as (n_grams, n_selected, first/last selected gram).
+    Unlike the hashed fingerprint family's equality-structure checks,
+    this is a full value-hash oracle over the algorithm's actual
+    output.  Stateless map, zero shuffles."""
+    from .ops.winnow import winnow_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(winnow_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _winnow_oracle() -> str:
+    from .ops.winnow import oracle_winnow_sql
+
+    return oracle_winnow_sql("SELECT doc_id, text FROM documents")
+
+
+QUERIES["winnow_selection"] = q_winnow_selection
+ORACLE_SQL["winnow_selection"] = _winnow_oracle()

@@ -164,3 +164,36 @@ def test_extract_outlinks_no_base_origin():
     out = extract_outlinks('<a href="/a">1</a><a href="http://e/b">2</a>',
                            "not-a-url")
     assert out == ["http://e/b"]
+
+
+# ---------------------------------------------------------------- winnow
+
+def _winnow_brute(tokens, k=4, w=4):
+    grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    if not grams:
+        return []
+    if len(grams) < w:
+        return sorted({min(grams)})
+    return sorted({min(grams[j:j + w]) for j in range(len(grams) - w + 1)})
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from("abcdef"), max_size=30),
+       st.integers(2, 5), st.integers(2, 5))
+def test_winnow_deque_matches_brute(tokens, k, w):
+    from extract_kit_ray.ops.winnow import winnow_select
+
+    assert winnow_select(tokens, k=k, w=w) == _winnow_brute(tokens, k, w)
+
+
+def test_winnow_shared_substring_guarantee():
+    """The MOSS property: two docs sharing a run of >= w + k - 1
+    tokens share at least one selected gram."""
+    from extract_kit_ray.ops.winnow import winnow_select
+
+    shared = "q r s t u v w".split()          # 7 tokens = w + k - 1
+    a = "x1 x2 x3".split() + shared + "x4 x5".split()
+    b = "y1".split() + shared + "y2 y3 y4".split()
+    sa = set(winnow_select(a, k=4, w=4))
+    sb = set(winnow_select(b, k=4, w=4))
+    assert sa & sb
