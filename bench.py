@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "pagerank_links",
     "idn_hosts",
     "winnow_selection",
+    "shuffle_run_lengths",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -6871,3 +6871,93 @@ def _winnow_oracle() -> str:
 
 QUERIES["winnow_selection"] = q_winnow_selection
 ORACLE_SQL["winnow_selection"] = _winnow_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: shuffle-quality audit (per-shard source run lengths)
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 16
+_SHUF_SHARD_WIDTH = (1 << 32) // _SHUF_SHARDS
+
+
+def q_shuffle_run_lengths(sf_dir: str) -> "ray.data.Dataset":
+    """Shuffle-quality audit — the pre-training check that a
+    deterministically shuffled corpus actually interleaves its
+    sources: docs ordered by the Knuth hash (ops/sampling.sample_hash,
+    ties by doc_id) within 16 contiguous hash-range SHARDS (what one
+    data-loader worker would read), runs of consecutive same-source
+    docs measured per shard, aggregated into a run-length histogram
+    (a healthy shuffle is dominated by short runs).  Shard-bucketed
+    map_groups with one vectorized boundary-diff pass per shard — the
+    sessionize shape; runs never merge across shards by design.  The
+    oracle replays the order with the HUGEINT-exact hash mirror and a
+    gaps-and-islands window."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .ops.sampling import sample_hash
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        h = sample_hash(did)
+        # skew plant: a third of the corpus collapses into one
+        # megasource (the realistic bad case a shuffle audit exists
+        # for); without it the synthetic source=id%20 column and the
+        # hash order's three-distance strides make every run length 1
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        src[did % 3 == 0] = "mega"
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": pa.array(src.tolist(), pa.string()),
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "shard": pa.array((h // _SHUF_SHARD_WIDTH).astype(np.int64),
+                              pa.int64()),
+        })
+
+    def runs_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["h", "doc_id"], kind="mergesort")
+        src = g["source"].to_numpy()
+        new_run = np.ones(len(g), dtype=bool)
+        new_run[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(g)])
+        ln, cnt = np.unique(lens, return_counts=True)
+        return pd.DataFrame({"run_len": ln.astype(np.int64),
+                             "n_runs": cnt.astype(np.int64)})
+
+    partial = (ds.map_batches(add_shard, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("shard").map_groups(runs_in_shard,
+                                            batch_format="pandas"))
+    from .ops.rayfix import arrow_blocks
+
+    return (arrow_blocks(partial).groupby("run_len")
+            .aggregate(_Sum("n_runs", alias_name="n_runs")))
+
+
+def _shuffle_runs_oracle() -> str:
+    from .ops.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id")
+    return (
+        f"WITH o AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'mega' "
+        f"ELSE source END AS source, doc_id, CAST({h} AS BIGINT) AS h "
+        "FROM documents), "
+        "s AS (SELECT source, doc_id, h, "
+        f"h // {_SHUF_SHARD_WIDTH} AS shard FROM o), "
+        "r AS (SELECT shard, source, "
+        "ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) "
+        "- ROW_NUMBER() OVER (PARTITION BY shard, source "
+        "ORDER BY h, doc_id) AS island FROM s), "
+        "runs AS (SELECT shard, source, island, COUNT(*) AS run_len "
+        "FROM r GROUP BY 1, 2, 3) "
+        "SELECT CAST(run_len AS BIGINT) AS run_len, "
+        "CAST(COUNT(*) AS BIGINT) AS n_runs FROM runs GROUP BY 1"
+    )
+
+
+QUERIES["shuffle_run_lengths"] = q_shuffle_run_lengths
+ORACLE_SQL["shuffle_run_lengths"] = _shuffle_runs_oracle()
