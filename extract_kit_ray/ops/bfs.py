@@ -54,17 +54,29 @@ def _distinct_nodes(ds, col: str):
 
 
 def bfs_hops(edges_ds, seeds_ds, *, max_hops: int = 3,
-             num_partitions: int | None = None):
+             num_partitions: int | None = None,
+             broadcast_max: int | None = None):
     """(src, dst) int64 edge Dataset + (node) seed Dataset ->
     (node, hop) Dataset: shortest hop count (0 for seeds) from any
-    seed, for every node reachable within ``max_hops``."""
+    seed, for every node reachable within ``max_hops``.
+
+    Two-tier PER ROUND on the current frontier's size (the ops/hits.py
+    pattern, decided fresh each hop because frontiers grow): a
+    frontier under :func:`config.broadcast_max_rows` fans via a
+    ``ray.put`` node-set filter — one vectorized edge map, no join —
+    while a larger one uses the hash join; either way the new frontier
+    is collapsed by the same distributed groupby-distinct (never a
+    driver collect), so a small seed set exploding into a huge
+    frontier flips tiers mid-traversal automatically."""
     from ray.data.aggregate import Min
 
-    from ..config import resolve_num_partitions
+    from ..config import broadcast_max_rows, resolve_num_partitions
 
     if max_hops < 0:
         raise ValueError("bfs_hops: max_hops must be >= 0")
     num_partitions = resolve_num_partitions(num_partitions)
+    if broadcast_max is None:
+        broadcast_max = broadcast_max_rows()
 
     edges_ds = edges_ds.materialize()  # reused every round
     frontier = _distinct_nodes(seeds_ds, "node").materialize()
@@ -80,10 +92,38 @@ def bfs_hops(edges_ds, seeds_ds, *, max_hops: int = 3,
     levels = [frontier.map_batches(at_hop(0), batch_format="pyarrow",
                                    zero_copy_batch=True)]
     for h in range(1, max_hops + 1):
-        fanned = edges_ds.join(
-            frontier, join_type="inner", num_partitions=num_partitions,
-            on=("src",), right_on=("node",),
-        )
+        if frontier.count() <= broadcast_max + 1:  # +1: schema sentinel
+            import numpy as _np
+            import ray as _ray
+
+            fset = _np.sort(_np.array(
+                [r["node"] for r in frontier.take_all()
+                 if int(r["node"]) >= 0], dtype=_np.int64))
+            ref = _ray.put(fset)
+
+            def fan(b: pa.Table) -> pa.Table:
+                import numpy as np
+                import ray as _r
+
+                keys = _r.get(ref)
+                src = b["src"].to_numpy()
+                if not len(keys):
+                    keep = np.zeros(len(src), bool)
+                else:
+                    pos = np.minimum(np.searchsorted(keys, src),
+                                     len(keys) - 1)
+                    keep = keys[pos] == src
+                return pa.table({"dst": pa.array(
+                    b["dst"].to_numpy()[keep], pa.int64())})
+
+            fanned = edges_ds.map_batches(fan, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+        else:
+            fanned = edges_ds.join(
+                frontier, join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",), right_on=("node",),
+            )
         frontier = _distinct_nodes(fanned, "dst").materialize()
         levels.append(frontier.map_batches(at_hop(h), batch_format="pyarrow",
                                            zero_copy_batch=True))
