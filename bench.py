@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "idn_hosts",
     "winnow_selection",
     "shuffle_run_lengths",
+    "crawl_budget",
+    "rel_canonical",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -6961,3 +6961,155 @@ def _shuffle_runs_oracle() -> str:
 
 QUERIES["shuffle_run_lengths"] = q_shuffle_run_lengths
 ORACLE_SQL["shuffle_run_lengths"] = _shuffle_runs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: crawl-politeness budgets and rel=canonical extraction
+# ---------------------------------------------------------------------------
+
+_DELAY_SCHEDULE = [1, 2, 5, 10, -1]  # -1 == no Crawl-delay line
+
+
+def _politeness_texts() -> dict[str, str]:
+    """Robots bodies with per-host Crawl-delay (absent for i%5==4) and
+    a badbot group whose delay must be IGNORED."""
+    out = {}
+    for i in range(20):
+        d = _DELAY_SCHEDULE[i % 5]
+        lines = ["User-agent: badbot", "Crawl-delay: 99", "Disallow: /",
+                 "", "User-agent: *   # us"]
+        if d >= 0:
+            lines.append(f"Crawl-delay: {d}")
+        lines.append("Disallow: /private/")
+        out[f"site{i}.example"] = "\n".join(lines)
+    return out
+
+
+def q_crawl_budget(sf_dir: str) -> "ray.data.Dataset":
+    """Per-host politeness budget — the crawl scheduler's core number:
+    parse each host's Crawl-delay from the ``*`` group (the badbot
+    group's delay is a planted trap) and derive fetches/hour =
+    3600 // max(delay, 1), default 3600 when absent.  The host table
+    derives from the corpus (distinct doc_id%20) and the robots map
+    broadcasts; the oracle states delay and budget closed-form."""
+    from ray.data.aggregate import Count as _Count
+
+    from .ops.robots import parse_crawl_delay
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def host_of(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        add = np.char.add
+        host = add(add("site", (did % 20).astype("U2")), ".example")
+        return pa.table({"host": pa.array(host.tolist(), pa.string())})
+
+    hosts = (ds.map_batches(host_of, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("host").aggregate(_Count(alias_name="n_docs")))
+    texts_ref = ray.put(_politeness_texts())
+
+    def budget(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        hs = batch["host"].to_pylist()
+        delays, budgets = [], []
+        for h in hs:
+            d = parse_crawl_delay(texts.get(h, ""))
+            delays.append(-1 if d is None else d)
+            budgets.append(3600 if d is None else 3600 // max(d, 1))
+        return pa.table({
+            "host": batch["host"],
+            "n_docs": batch["n_docs"],
+            "crawl_delay": pa.array(delays, pa.int64()),
+            "budget_per_hour": pa.array(budgets, pa.int64()),
+        })
+
+    return hosts.map_batches(budget, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _crawl_budget_oracle() -> str:
+    delay_case = " ".join(
+        f"WHEN {i} THEN {d}" for i, d in enumerate(_DELAY_SCHEDULE))
+    return (
+        "WITH h AS (SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || "
+        "'.example' AS host, doc_id % 20 AS i FROM documents), "
+        "g AS (SELECT host, i % 5 AS s, CAST(COUNT(*) AS BIGINT) "
+        "AS n_docs FROM h GROUP BY 1, 2) "
+        f"SELECT host, n_docs, CAST(CASE s {delay_case} END AS BIGINT) "
+        "AS crawl_delay, "
+        f"CAST(CASE s {' '.join(f'WHEN {i} THEN {3600 if d < 0 else 3600 // max(d, 1)}' for i, d in enumerate(_DELAY_SCHEDULE))} END "
+        "AS BIGINT) AS budget_per_hour FROM g"
+    )
+
+
+def q_rel_canonical(sf_dir: str) -> "ray.data.Dataset":
+    """rel=canonical extraction + self-canonical audit — the dedup
+    signal publishers declare themselves: pages planted with a
+    canonical link that strips the page's own utm junk (self), points
+    at a DIFFERENT page (syndication), or is absent (implicitly
+    self).  One vectorized RE2 extract + the shared urlnorm
+    canonicalize chain on both sides of the comparison; closed-form
+    oracle."""
+    from .ops.urlnorm import canonicalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        urls, htmls = [], []
+        for d in ids:
+            page = f"https://site{d % 5}.example/p/{d % 11}?utm_x=1"
+            if d % 3 == 0:
+                link = (f'<link rel="canonical" href='
+                        f'"https://site{d % 5}.example/p/{d % 11}">')
+            elif d % 3 == 1:
+                link = (f'<link rel="canonical" href='
+                        f'"https://site{d % 5}.example/p/master">')
+            else:
+                link = ""
+            urls.append(page)
+            htmls.append(f"<html><head>{link}</head><body>x</body></html>")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.string())})
+
+    def audit(batch: pa.Table) -> pa.Table:
+        href = pc.struct_field(pc.extract_regex(
+            batch["html"],
+            r'<link rel="canonical" href="(?P<h>[^"]*)"'), "h")
+        canon_page = canonicalize_batch(
+            pa.table({"url": batch["url"]}))["canon_url"]
+        has = pc.is_valid(href)
+        canon_href = canonicalize_batch(
+            pa.table({"url": pc.if_else(has, href, "")}))["canon_url"]
+        self_canon = pc.or_(pc.invert(has),
+                            pc.equal(canon_href, canon_page))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "canonical_href": pc.if_else(has, href, None),
+            "self_canonical": self_canon,
+        })
+
+    return (ds.map_batches(plant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(audit, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+ORACLE_SQL["rel_canonical"] = (
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'https://site' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.example/p/' || "
+    "CAST(doc_id % 11 AS VARCHAR) "
+    "WHEN doc_id % 3 = 1 THEN 'https://site' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.example/p/master' "
+    "END AS canonical_href, "
+    "doc_id % 3 <> 1 AS self_canonical FROM documents"
+)
+
+QUERIES["crawl_budget"] = q_crawl_budget
+QUERIES["rel_canonical"] = q_rel_canonical
+ORACLE_SQL["crawl_budget"] = _crawl_budget_oracle()

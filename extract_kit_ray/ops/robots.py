@@ -144,3 +144,38 @@ def robots_filter(ds: "ray.data.Dataset", robots_by_host: dict[str, str],
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def parse_crawl_delay(text: str) -> int | None:
+    """Crawl-delay (seconds) from the ``User-agent: *`` group, or None.
+    Same group semantics as :func:`parse_robots`; non-numeric values
+    are ignored (failure-as-data).  Fractional delays floor to ints
+    (politeness budgets are integer fetches/hour)."""
+    applies = False
+    in_agent_run = False
+    delay: int | None = None
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            applies = False
+            in_agent_run = False
+            continue
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                applies = value == "*"
+                in_agent_run = True
+            else:
+                applies = applies or value == "*"
+            continue
+        in_agent_run = False
+        if applies and field == "crawl-delay":
+            try:
+                delay = int(float(value))
+            except ValueError:
+                pass
+    return delay
