@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "shuffle_run_lengths",
     "crawl_budget",
     "rel_canonical",
+    "crawl_schedule",
 ]
 
 # ANN-at-scale comparison corpus: the sf tables hold only 2k vectors, so

@@ -7113,3 +7113,79 @@ ORACLE_SQL["rel_canonical"] = (
 QUERIES["crawl_budget"] = q_crawl_budget
 QUERIES["rel_canonical"] = q_rel_canonical
 ORACLE_SQL["crawl_budget"] = _crawl_budget_oracle()
+
+
+def q_crawl_schedule(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-completion ETA — the scheduler roll-up that the robots
+    gate and the politeness budget exist to feed: per host, the count
+    of robots-ALLOWED urls (ops/robots.py decision over the shared
+    rule tuples), the Crawl-delay budget (fetches/hour), and
+    hours_to_crawl = ceil(n_allowed / budget).  Three-op composition
+    in one streaming pipeline (robots filter -> host rollup ->
+    broadcast budget attach); the oracle chains the VALUES decision,
+    the closed-form budget and the integer ceiling."""
+    from ray.data.aggregate import Count as _Count
+
+    from .ops.robots import parse_crawl_delay, robots_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    urls = ds.map_batches(_plant_host_path, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    allowed = robots_filter(urls, _robots_texts())
+    per_host = (allowed.groupby("host")
+                .aggregate(_Count(alias_name="n_allowed")))
+    texts_ref = ray.put(_politeness_texts())
+
+    def attach(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        hs = batch["host"].to_pylist()
+        n = batch["n_allowed"].to_numpy()
+        budgets = []
+        for h in hs:
+            d = parse_crawl_delay(texts.get(h, ""))
+            budgets.append(3600 if d is None else 3600 // max(d, 1))
+        b = np.asarray(budgets, dtype=np.int64)
+        hours = -(-n // b)  # ceil division
+        return pa.table({
+            "host": batch["host"],
+            "n_allowed": batch["n_allowed"],
+            "budget_per_hour": pa.array(b, pa.int64()),
+            "hours_to_crawl": pa.array(hours, pa.int64()),
+        })
+
+    return per_host.map_batches(attach, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def _crawl_schedule_oracle() -> str:
+    vals = []
+    for i in range(20):
+        for is_allow, prefix in _robots_rule_tuples(i):
+            vals.append(f"('site{i}.example', '{prefix}', "
+                        f"{'TRUE' if is_allow else 'FALSE'}, {len(prefix)})")
+    budget_case = " ".join(
+        f"WHEN {i} THEN {3600 if d < 0 else 3600 // max(d, 1)}"
+        for i, d in enumerate(_DELAY_SCHEDULE))
+    return (
+        f"WITH u AS (SELECT doc_id, {_ROBOTS_HOST_SQL} AS host, "
+        f"{_ROBOTS_PATH_SQL} AS path, doc_id % 20 AS hi FROM documents), "
+        f"r(host, prefix, is_allow, plen) AS (VALUES {', '.join(vals)}), "
+        "m AS (SELECT u.doc_id, r.is_allow, ROW_NUMBER() OVER ("
+        "PARTITION BY u.doc_id ORDER BY r.plen DESC, r.is_allow DESC"
+        ") AS rn FROM u JOIN r ON u.host = r.host "
+        "AND starts_with(u.path, r.prefix)), "
+        "a AS (SELECT u.host, u.hi FROM u LEFT JOIN (SELECT doc_id, "
+        "is_allow FROM m WHERE rn = 1) b USING (doc_id) "
+        "WHERE b.doc_id IS NULL OR b.is_allow), "
+        "g AS (SELECT host, hi % 5 AS s, CAST(COUNT(*) AS BIGINT) AS "
+        "n_allowed FROM a GROUP BY 1, 2) "
+        f"SELECT host, n_allowed, CAST(CASE s {budget_case} END AS "
+        "BIGINT) AS budget_per_hour, "
+        f"CAST(ceil(CAST(n_allowed AS DOUBLE) / (CASE s {budget_case} "
+        "END)) AS BIGINT) AS hours_to_crawl FROM g"
+    )
+
+
+QUERIES["crawl_schedule"] = q_crawl_schedule
+ORACLE_SQL["crawl_schedule"] = _crawl_schedule_oracle()
