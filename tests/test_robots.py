@@ -170,3 +170,13 @@ def test_driver_fixture_text_parses_back_to_rule_tuples():
     for i in range(20):
         host = f"site{i}.example"
         assert parse_robots(texts[host]) == _robots_rule_tuples(i), host
+
+
+def test_parse_crawl_delay_group_semantics():
+    from extract_kit_ray.ops.robots import parse_crawl_delay
+
+    txt = "User-agent: bad\nCrawl-delay: 99\n\nUser-agent: *\nCrawl-delay: 3\n"
+    assert parse_crawl_delay(txt) == 3
+    assert parse_crawl_delay("User-agent: bad\nCrawl-delay: 9\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nope\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2.9\n") == 2
